@@ -1,0 +1,13 @@
+"""cyclic_gps_tpu: TPU-native linear-time Gaussian-process inference.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+cunningham-lab/cyclic-gps: LEG (Latent Exponentially Generated) Gaussian
+processes on 1-D inputs, with all expensive operations reduced to
+branch-free cyclic reduction on block-tridiagonal matrices.
+"""
+
+from cyclic_gps_tpu.ops import cyclic_reduction, smallblock
+
+__version__ = "0.1.0"
+
+__all__ = ["cyclic_reduction", "smallblock", "__version__"]

@@ -1,0 +1,24 @@
+"""Test configuration.
+
+Parity tests run at float64 against dense CPU oracles (matching the
+reference's torch.allclose contracts), so tests force the CPU backend with
+x64 enabled and expose an 8-device virtual mesh for the multi-chip sharding
+tests.  Benchmarks and examples use the real TPU at float32.
+
+Note: this environment pre-registers a TPU PJRT plugin at interpreter
+startup, so the backend must be forced via jax.config (env vars are read
+too early to help).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
