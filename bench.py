@@ -1,0 +1,77 @@
+"""Headline benchmark: block-tridiagonal solve + logdet at N = 1e6, d = 5.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <x>}
+
+vs_baseline is the speedup factor against the driver's north-star target
+of 10 ms (BASELINE.md) -- the reference itself publishes no numbers.
+
+Timing notes for this rig (see .claude/skills/verify/SKILL.md): the PJRT
+relay result-caches identical calls and block_until_ready returns early,
+so we loop K iterations inside one jit with an input perturbation and
+synchronise via a host read, then subtract nothing (round-trip ~30 ms is
+amortised over K).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cyclic_gps_tpu.ops import cyclic_reduction as cr
+
+N = 1_000_000
+D = 5
+K = 20  # iterations inside one jit
+TARGET_MS = 10.0
+
+
+def make_system(n, d, dtype=np.float32, seed=0):
+    """Well-conditioned SPD block-tridiagonal system (diagonally dominant;
+    condition number O(1) at any N)."""
+    rng = np.random.RandomState(seed)
+    q = rng.randn(n, d, d).astype(dtype)
+    diag = q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d, dtype=dtype)
+    off = (rng.randn(n - 1, d, d) / d).astype(dtype)
+    v = rng.randn(n, d).astype(dtype)
+    return jnp.asarray(diag), jnp.asarray(off), jnp.asarray(v)
+
+
+def main():
+    diag, off, v = make_system(N, D)
+
+    @jax.jit
+    def loop(dg, of, y, c):
+        def body(i, acc):
+            mh, ld = cr.mahal_and_logdet(
+                dg * (c + 1e-9 * i.astype(dg.dtype)), of, y
+            )
+            x = cr.solve(cr.decompose(dg * (c + 1e-9 * i.astype(dg.dtype)),
+                                      of), y)
+            return acc + mh + ld + x[0, 0]
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((), dg.dtype))
+
+    float(loop(diag, off, v, 1.0))  # compile + warm
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        float(loop(diag, off, v, 1.0 + i * 1e-6))
+        times.append((time.time() - t0) / K)
+    ms = float(np.min(times) * 1e3)
+    print(
+        json.dumps(
+            {
+                "metric": "cr_solve_logdet_n1e6_d5",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(TARGET_MS / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

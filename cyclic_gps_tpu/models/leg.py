@@ -1,0 +1,430 @@
+"""LEG (Latent Exponentially Generated) Gaussian-process family.
+
+Model (reference cyclic_gps/models.py:22-25):
+
+    z ~ PEG(N, R)           a stationary latent Markov process with unit
+                            stationary covariance and generator
+                            G = N N^T + R - R^T (+ 1e-5 I),
+    x(t) ~ Normal(B z(t), Lambda Lambda^T).
+
+Because the PEG prior is Markov, its precision over any time grid is
+block-tridiagonal; every expensive quantity reduces to cyclic reduction
+(ops/cyclic_reduction.py).
+
+This is a functional re-design of the reference's LightningModule
+(cyclic_gps/models.py): parameters are a pytree (`LEGParams`), every method
+is a pure jittable function, and prediction is a single vmap over target
+times instead of a Python loop (reference models.py:454-514).  Matrix
+exponentials are batched `jax.scipy.linalg.expm` (TPU-friendly) rather than
+the reference's eigendecomposition route (model_utils.py:12-29), since
+nonsymmetric `eig` has no TPU/accelerator implementation.
+
+Parameter packing matches the reference exactly (models.py:27-73):
+N lower-tri incl diag, R strictly-lower, Lambda lower-tri incl diag with a
+softplus applied on read (models.py:148), B dense.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclic_gps_tpu.models.gaussians import (
+    build_2x2_block,
+    build_3x3_block,
+    gaussian_stitch,
+)
+from cyclic_gps_tpu.ops import cyclic_reduction as cr
+
+Array = jnp.ndarray
+
+G_DIAG_EPS = 1e-5  # reference models.py:158
+LLT_DIAG_EPS = 1e-9  # reference models.py:165
+
+
+class LEGParams(NamedTuple):
+    """Trainable parameters, packed as in the reference (models.py:38-68)."""
+
+    n_params: Array  # [rank*(rank+1)/2]  lower-tri incl diag of N
+    r_params: Array  # [rank*(rank-1)/2]  strictly-lower of R
+    lambda_params: Array  # [obs*(obs+1)/2] lower-tri incl diag (softplus on read)
+    b: Array  # [obs_dim, rank]
+
+    @property
+    def rank(self) -> int:
+        return self.b.shape[1]
+
+    @property
+    def obs_dim(self) -> int:
+        return self.b.shape[0]
+
+
+def tril_indices(n: int, offset: int = 0):
+    return jnp.tril_indices(n, offset)
+
+
+def parameter_count(rank: int, obs_dim: int) -> int:
+    """Total trainable scalars (reference models.py:123-133)."""
+    return (
+        rank * (rank + 1) // 2
+        + rank * (rank - 1) // 2
+        + obs_dim * (obs_dim + 1) // 2
+        + obs_dim * rank
+    )
+
+
+def init_params(
+    key: jax.Array,
+    rank: int,
+    obs_dim: int,
+    prior_process_noise_level: float = 1.0,
+    prior_length_scale: float = 0.2,
+    dtype=jnp.float32,
+) -> LEGParams:
+    """Initial guess matching the reference (models.py:93-121):
+
+    N = noise_level * I (via chol(N N^T)); R = (Z - Z^T) * length_scale with
+    Z standard normal; Lambda = 0.1 * I (packed raw; softplus applied on
+    read); B = 0.5 * ones / row-norm.
+    """
+    n_mat = jnp.eye(rank, dtype=dtype) * prior_process_noise_level
+    n_mat = jnp.linalg.cholesky(n_mat @ n_mat.T)
+    n_params = n_mat[tril_indices(rank, 0)]
+
+    z = jax.random.normal(key, (rank, rank), dtype=dtype)
+    r_mat = (z - z.T) * prior_length_scale
+    r_params = r_mat[tril_indices(rank, -1)]
+
+    lam = 0.1 * jnp.eye(obs_dim, dtype=dtype)
+    lam = jnp.linalg.cholesky(lam @ lam.T)
+    lambda_params = lam[tril_indices(obs_dim, 0)]
+
+    b = jnp.ones((obs_dim, rank), dtype=dtype)
+    b = 0.5 * b / jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True))
+    return LEGParams(n_params, r_params, lambda_params, b)
+
+
+def n_matrix(params: LEGParams) -> Array:
+    rank = params.rank
+    n = jnp.zeros((rank, rank), dtype=params.n_params.dtype)
+    return n.at[tril_indices(rank, 0)].set(params.n_params)
+
+
+def r_matrix(params: LEGParams) -> Array:
+    rank = params.rank
+    r = jnp.zeros((rank, rank), dtype=params.r_params.dtype)
+    return r.at[tril_indices(rank, -1)].set(params.r_params)
+
+
+def lambda_matrix(params: LEGParams) -> Array:
+    """Softplus-positivised lower-triangular Lambda (models.py:145-150)."""
+    obs = params.obs_dim
+    lam = jnp.zeros((obs, obs), dtype=params.lambda_params.dtype)
+    return lam.at[tril_indices(obs, 0)].set(
+        jax.nn.softplus(params.lambda_params)
+    )
+
+
+def g_matrix(params: LEGParams) -> Array:
+    """PEG generator G = N N^T + R - R^T + 1e-5 I (models.py:152-159)."""
+    n = n_matrix(params)
+    r = r_matrix(params)
+    g = n @ n.T + r - r.T
+    return g + jnp.eye(params.rank, dtype=g.dtype) * G_DIAG_EPS
+
+
+def lambda_lambda_t(params: LEGParams) -> Array:
+    """Observation noise covariance + 1e-9 I (models.py:161-170)."""
+    lam = lambda_matrix(params)
+    llt = lam @ lam.T
+    return llt + LLT_DIAG_EPS * jnp.eye(params.obs_dim, dtype=llt.dtype)
+
+
+def expm_batch(mats: Array) -> Array:
+    """Batched matrix exponential of [..., d, d]."""
+    flat = mats.reshape((-1,) + mats.shape[-2:])
+    out = jax.vmap(jax.scipy.linalg.expm)(flat)
+    return out.reshape(mats.shape)
+
+
+def peg_precision(g: Array, ts: Array) -> Tuple[Array, Array]:
+    """Block-tridiagonal precision of the PEG latent on grid ``ts``.
+
+    Reference models.py:180-239.  With e_i = expm(-0.5 (t_{i+1}-t_i) G):
+      off_i  = -(I - e_i e_i^T)^{-1} e_i
+      diag_i = I + [e_{i} (I - e_i^T e_i)^{-1} e_i^T  if i < N-1 else 0]
+                 + [e_{i-1}^T (I - e_{i-1} e_{i-1}^T)^{-1} e_{i-1} if i > 0]
+    The boundary terms implement the infinite lead-in/lead-out
+    (models.py:226-237).  Returns ([N, r, r] diag, [N-1, r, r] lower-off).
+    """
+    rank = g.shape[0]
+    diffs = ts[1:] - ts[:-1]
+    expd = expm_batch(-0.5 * diffs[:, None, None] * g[None])
+    expd_t = jnp.swapaxes(expd, -1, -2)
+    eye = jnp.eye(rank, dtype=g.dtype)
+
+    # (I - e^T e)^{-1} e^T   and   (I - e e^T)^{-1} e
+    imgtginvgt = jnp.linalg.solve(eye - expd_t @ expd, expd_t)
+    imggtinvg = jnp.linalg.solve(eye - expd @ expd_t, expd)
+
+    off = -imggtinvg
+    d1 = expd @ imgtginvgt  # contribution from the interval to the right
+    d2 = expd_t @ imggtinvg  # contribution from the interval to the left
+
+    zero = jnp.zeros((1, rank, rank), dtype=g.dtype)
+    diag = (
+        eye
+        + jnp.concatenate([d1, zero], axis=0)
+        + jnp.concatenate([zero, d2], axis=0)
+    )
+    return diag, off
+
+
+@jax.jit
+def log_likelihood(params: LEGParams, ts: Array, xs: Array) -> Array:
+    """Marginal log-likelihood log p(x | ts, params) in O(N) via CR.
+
+    Identity (reference models.py:300-372):
+      log p(x) = -1/2 [ x^T Ltilde^{-1} x - v^T K^{-1} v
+                        + N log|2 pi LLT| + log|K| - log|Sigma^{-1}| ]
+      with Sigma^{-1} the PEG precision, K = Sigma^{-1} + I_N (x) B^T LLT^{-1} B,
+      v = (LLT^{-1} x) B.
+    """
+    llt = lambda_lambda_t(params)
+    g = g_matrix(params)
+    num_obs = ts.shape[0]
+
+    x_llt_inv = jnp.linalg.solve(llt, xs.T).T  # [N, obs]
+    llt_mahal = jnp.sum(x_llt_inv * xs)
+    llt_logdet = num_obs * jnp.linalg.slogdet(
+        2.0 * jnp.pi * llt
+    )[1]
+
+    v = x_llt_inv @ params.b  # [N, rank]
+
+    sig_inv_diag, sig_inv_off = peg_precision(g, ts)
+    sig_inv_logdet = cr.logdet_direct(sig_inv_diag, sig_inv_off)
+
+    llt_inv_b = jnp.linalg.solve(llt, params.b)
+    bt_llt_inv_b = params.b.T @ llt_inv_b
+    k_diag = sig_inv_diag + bt_llt_inv_b[None]
+    k_off = sig_inv_off
+
+    k_mahal, k_logdet = cr.mahal_and_logdet(k_diag, k_off, v)
+    mahal = llt_mahal - k_mahal
+    logdet = llt_logdet + k_logdet - sig_inv_logdet
+    return -0.5 * (mahal + logdet)
+
+
+def posterior_precision(params: LEGParams, ts: Array) -> Tuple[Array, Array]:
+    """K = Sigma^{-1} + I_N (x) B^T LLT^{-1} B (reference models.py:254-268)."""
+    llt = lambda_lambda_t(params)
+    g = g_matrix(params)
+    sig_inv_diag, sig_inv_off = peg_precision(g, ts)
+    bt_llt_inv_b = params.b.T @ jnp.linalg.solve(llt, params.b)
+    return sig_inv_diag + bt_llt_inv_b[None], sig_inv_off
+
+
+def compute_v(params: LEGParams, xs: Array) -> Array:
+    """v = (LLT^{-1} x) B (reference models.py:270-280)."""
+    llt = lambda_lambda_t(params)
+    return jnp.linalg.solve(llt, xs.T).T @ params.b
+
+
+@jax.jit
+def insample_posterior(
+    params: LEGParams, ts: Array, xs: Array
+) -> Tuple[Array, Array, Array]:
+    """Posterior mean, marginal covariances and lag-1 cross-covariances of
+    the latent z at the observation times (reference models.py:282-298).
+
+    Returns (mean [N, r], cov_diag [N, r, r], cov_off [N-1, r, r]) where
+    cov_off[i] = Cov(z_{i+1}, z_i | x).
+    """
+    k_diag, k_off = posterior_precision(params, ts)
+    decomp = cr.decompose(k_diag, k_off)
+    mean = cr.solve(decomp, compute_v(params, xs))
+    cov_diag, cov_off = cr.inverse_blocks(decomp)
+    return mean, cov_diag, cov_off
+
+
+def _forecast(rank, eg, ip_mean, ip_cov):
+    """Extrapolate one step through the prior (reference models.py:394-407).
+
+    eg = expm(-0.5 |dt| G) oriented so that Cov(z_target, z_anchor) = eg.
+    """
+    eye = jnp.eye(rank, dtype=eg.dtype)
+    joint_mean = jnp.zeros(2 * rank, dtype=eg.dtype)
+    joint_cov = build_2x2_block(eye, eg.T, eg, eye)
+    return gaussian_stitch(joint_mean, joint_cov, ip_mean, ip_cov)
+
+
+def _interpolate(rank, eg1, eg2, prev_mean, prev_cov, prev_cross, next_mean,
+                 next_cov):
+    """Condition a between-points latent on both neighbours
+    (reference models.py:409-451).
+
+    eg1 = expm(-0.5 (t* - t_prev) G), eg2 = expm(-0.5 (t_next - t*) G);
+    prev_cross = Cov(z_next, z_prev | x) (lower off-diag posterior block).
+    """
+    eye = jnp.eye(rank, dtype=eg1.dtype)
+    eg3 = eg1 @ eg2
+    joint_mean = jnp.zeros(3 * rank, dtype=eg1.dtype)
+    joint_cov = build_3x3_block(
+        eye, eg3.T, eg1.T,
+        eg3, eye, eg2,
+        eg1, eg2.T, eye,
+    )
+    joint_ip_mean = jnp.concatenate([prev_mean, next_mean], axis=0)
+    joint_ip_cov = build_2x2_block(
+        prev_cov, prev_cross.T,
+        prev_cross, next_cov,
+    )
+    return gaussian_stitch(joint_mean, joint_cov, joint_ip_mean, joint_ip_cov)
+
+
+@jax.jit
+def intercast(
+    params: LEGParams,
+    ip_mean: Array,
+    ip_cov_diag: Array,
+    ip_cov_off: Array,
+    ts: Array,
+    target_ts: Array,
+    thresh: float = 1e-10,
+) -> Tuple[Array, Array]:
+    """Latent predictive moments at arbitrary sorted target times.
+
+    Vectorised re-design of the reference's Python loop
+    (models.py:454-514): one `searchsorted`, batched matrix exponentials,
+    and a masked select over the three regimes (backward forecast, forward
+    forecast, interpolation), with exact passthrough when a target
+    coincides with the first/last observation time.
+    """
+    rank = params.rank
+    g = g_matrix(params)
+    n = ts.shape[0]
+
+    idx = jnp.searchsorted(ts, target_ts)
+    is_back = idx == 0
+    is_fwd = idx == n
+    hit_first = jnp.abs(target_ts - ts[0]) <= thresh
+    hit_last = jnp.abs(target_ts - ts[-1]) <= thresh
+
+    prev_i = jnp.clip(idx - 1, 0, n - 1)
+    next_i = jnp.clip(idx, 0, n - 1)
+    off_i = jnp.clip(idx - 1, 0, max(n - 2, 0))
+
+    # Time gaps, clamped nonnegative so unused branches stay finite.
+    d_back = jnp.maximum(ts[0] - target_ts, 0.0)
+    d_fwd = jnp.maximum(target_ts - ts[-1], 0.0)
+    d1 = jnp.maximum(target_ts - ts[prev_i], 0.0)
+    d2 = jnp.maximum(ts[next_i] - target_ts, 0.0)
+
+    eg_back = expm_batch(-0.5 * d_back[:, None, None] * g[None])
+    eg_fwd = expm_batch(-0.5 * d_fwd[:, None, None] * g[None])
+    eg1 = expm_batch(-0.5 * d1[:, None, None] * g[None])
+    eg2 = expm_batch(-0.5 * d2[:, None, None] * g[None])
+
+    def one_target(is_back, is_fwd, hit_first, hit_last, eg_back, eg_fwd,
+                   eg1, eg2, prev_i, next_i, off_i):
+        # Backward forecast: Cov(z_target, z_first) = expm(-.5 d G)^T.
+        m_b, v_b = _forecast(rank, eg_back.T, ip_mean[0], ip_cov_diag[0])
+        # Forward forecast: Cov(z_target, z_last) = expm(-.5 d G).
+        m_f, v_f = _forecast(rank, eg_fwd, ip_mean[-1], ip_cov_diag[-1])
+        m_i, v_i = _interpolate(
+            rank, eg1, eg2,
+            ip_mean[prev_i], ip_cov_diag[prev_i], ip_cov_off[off_i],
+            ip_mean[next_i], ip_cov_diag[next_i],
+        )
+        mean = jnp.where(is_back, m_b, jnp.where(is_fwd, m_f, m_i))
+        cov = jnp.where(is_back, v_b, jnp.where(is_fwd, v_f, v_i))
+        # Exact hits on the first/last observation pass through unchanged
+        # (reference models.py:478-479,487-488,495-496).
+        mean = jnp.where(hit_first, ip_mean[0], mean)
+        cov = jnp.where(hit_first, ip_cov_diag[0], cov)
+        mean = jnp.where(hit_last, ip_mean[-1], mean)
+        cov = jnp.where(hit_last, ip_cov_diag[-1], cov)
+        return mean, cov
+
+    return jax.vmap(one_target)(
+        is_back, is_fwd, hit_first, hit_last, eg_back, eg_fwd, eg1, eg2,
+        prev_i, next_i, off_i,
+    )
+
+
+@jax.jit
+def predictive_posterior(
+    params: LEGParams, ts: Array, xs: Array, target_ts: Array
+) -> Tuple[Array, Array]:
+    """Latent predictive moments at target times (models.py:516-528)."""
+    mean, cov_diag, cov_off = insample_posterior(params, ts, xs)
+    return intercast(params, mean, cov_diag, cov_off, ts, target_ts)
+
+
+@partial(jax.jit, static_argnames=("include_obs_noise",))
+def make_predictions(
+    params: LEGParams,
+    ts: Array,
+    xs: Array,
+    target_ts: Array,
+    include_obs_noise: bool = False,
+) -> Tuple[Array, Array]:
+    """Data-space predictive moments at target times (models.py:530-546).
+
+    With ``include_obs_noise=False`` this matches the reference exactly
+    (which omits Lambda Lambda^T from the predictive covariance,
+    models.py:544); set True for a proper posterior-predictive covariance.
+    """
+    lat_mean, lat_cov = predictive_posterior(params, ts, xs, target_ts)
+    mean = lat_mean @ params.b.T
+    cov = params.b[None] @ lat_cov @ params.b.T[None]
+    if include_obs_noise:
+        cov = cov + lambda_lambda_t(params)[None]
+    return mean, cov
+
+
+@partial(jax.jit, static_argnames=("num",))
+def sample_from_prior(
+    params: LEGParams, key: jax.Array, ts: Array, num: int = 1
+) -> Tuple[Array, Array]:
+    """Joint samples (z, x) from the LEG prior on grid ``ts``.
+
+    The reference's version is dead code with no return (models.py:243-252);
+    this implements it via the exact discrete-time SSM bridge: for gap d,
+    z_{i+1} = expm(-0.5 d G) z_i + w_i with Cov(w_i) = I - A A^T
+    (cf. reference kalman.py:17-19), then x_i = B z_i + Lambda e_i.
+    Returns (zs [num, N, rank], xs [num, N, obs_dim]).
+    """
+    rank = params.rank
+    g = g_matrix(params)
+    diffs = ts[1:] - ts[:-1]
+    a = expm_batch(-0.5 * diffs[:, None, None] * g[None])
+    q = jnp.eye(rank, dtype=g.dtype) - a @ jnp.swapaxes(a, -1, -2)
+    q_chol = jnp.linalg.cholesky(
+        q + 1e-12 * jnp.eye(rank, dtype=g.dtype)
+    )
+
+    key_z0, key_w, key_e = jax.random.split(key, 3)
+    z0 = jax.random.normal(key_z0, (num, rank), dtype=g.dtype)
+    ws = jax.random.normal(key_w, (diffs.shape[0], num, rank), dtype=g.dtype)
+
+    def step(z, inp):
+        a_i, qc_i, w_i = inp
+        z_next = z @ a_i.T + w_i @ qc_i.T
+        return z_next, z_next
+
+    _, z_rest = jax.lax.scan(step, z0, (a, q_chol, ws))
+    zs = jnp.concatenate([z0[None], z_rest], axis=0)  # [N, num, rank]
+    zs = jnp.swapaxes(zs, 0, 1)  # [num, N, rank]
+
+    lam = lambda_matrix(params)
+    es = jax.random.normal(
+        key_e, (num, ts.shape[0], params.obs_dim), dtype=g.dtype
+    )
+    xs = zs @ params.b.T + es @ lam.T
+    return zs, xs

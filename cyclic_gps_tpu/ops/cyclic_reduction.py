@@ -141,12 +141,17 @@ def pad_blocks(diag: Array, off: Array) -> Tuple[Array, Array]:
     return R, O
 
 
-def _reduction_level(R: Array, O: Array, jitter: float = 0.0):
+def _reduction_level(R: Array, O: Array, jitter: float = 0.0, shifts=sb):
     """One branch-free CR level.
 
     R, O: [d, d, m] element-major, m even, with O[..., m-1] == 0.
     Returns (CRLevel with m/2 blocks, (R', O') of the half-size system with
     the same trailing-zero invariant).
+
+    ``shifts`` supplies the one-block nearest-neighbour shifts
+    (shift_up / shift_up_chol): the local versions from smallblock by
+    default, or halo-exchange (ppermute) versions under sequence sharding
+    (parallel/seq_sharded.py).
     """
     Re, Ro = R[..., 0::2], R[..., 1::2]
     Oe, Oo = O[..., 0::2], O[..., 1::2]
@@ -155,14 +160,34 @@ def _reduction_level(R: Array, O: Array, jitter: float = 0.0):
     # F_k = Oe_k D_k^{-T}  <=>  D_k F_k^T = Oe_k^T
     F = sb.transpose(sb.solve_lower(D, D_invd, sb.transpose(Oe)))
     # G_k = Oo_k^T D_{k+1}^{-T}  <=>  D_{k+1} G_k^T = Oo_k
-    D1, D1_invd = sb.shift_up_chol(D, D_invd)
+    D1, D1_invd = shifts.shift_up_chol(D, D_invd)
     G = sb.transpose(sb.solve_lower(D1, D1_invd, Oo))
 
     # Schur complement of the even blocks: R' = Ro - F F^T - G G^T,
     # O'_k = -F_{k+1} G_k^T.  G[m/2-1] = 0 keeps the invariant O'[m/2-1] = 0.
     Rn = Ro - sb.matmul(F, F, tb=True) - sb.matmul(G, G, tb=True)
-    On = -sb.matmul(sb.shift_up(F), G, tb=True)
+    On = -sb.matmul(shifts.shift_up(F), G, tb=True)
     return CRLevel(D, D_invd, F, G), (Rn, On)
+
+
+def _fused_levels(R, O, yt, jitter: float = 0.0, shifts=sb, stop: int = 1):
+    """Run reduction levels while more than ``stop`` blocks remain,
+    accumulating the Mahalanobis and half-log-det contributions.
+
+    Returns (R, O, yt, mahal_partial, half_logdet_partial).  Under
+    sequence sharding the partials are per-shard sums (combined by psum).
+    """
+    mh = jnp.zeros((), dtype=R.dtype)
+    ld = jnp.zeros((), dtype=R.dtype)
+    while R.shape[-1] > stop:
+        lvl, (R, O) = _reduction_level(R, O, jitter=jitter, shifts=shifts)
+        ld = ld + sb.chol_log_diag_sum(lvl.D)
+        z = sb.solve_lower_vec(lvl.D, lvl.D_invd, yt[:, 0::2])
+        mh = mh + jnp.sum(z * z)
+        yt = yt[:, 1::2] - (
+            sb.matvec(lvl.F, z) + sb.matvec(lvl.G, shifts.shift_up(z))
+        )
+    return R, O, yt, mh, ld
 
 
 @partial(jax.jit, static_argnames=("jitter",))
@@ -290,16 +315,7 @@ def mahal_and_logdet(
     yt = jnp.concatenate(
         [sb.vec_to_em(y), jnp.zeros((d, m - n), dtype=y.dtype)], axis=-1
     )
-    ld = jnp.zeros((), dtype=diag.dtype)
-    mh = jnp.zeros((), dtype=diag.dtype)
-    while R.shape[-1] > 1:
-        lvl, (R, O) = _reduction_level(R, O, jitter=jitter)
-        ld = ld + sb.chol_log_diag_sum(lvl.D)
-        z = sb.solve_lower_vec(lvl.D, lvl.D_invd, yt[:, 0::2])
-        mh = mh + jnp.sum(z * z)
-        yt = yt[:, 1::2] - (
-            sb.matvec(lvl.F, z) + sb.matvec(lvl.G, sb.shift_up(z))
-        )
+    R, O, yt, mh, ld = _fused_levels(R, O, yt, jitter=jitter)
     D, D_invd = sb.cholesky(R, jitter=jitter)
     ld = ld + sb.chol_log_diag_sum(D)
     z = sb.solve_lower_vec(D, D_invd, yt)

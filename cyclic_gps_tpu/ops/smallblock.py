@@ -4,14 +4,18 @@ The LEG/cyclic-reduction workload is dominated by linear algebra on *tiny*
 (d x d, d <= ~10) matrix blocks, batched over very large leading dimensions
 (up to N = 1e7 blocks).  The TPU-native layout for this regime is
 **element-major**: a batch of B blocks is stored as an array of shape
-``[d, d, B]`` so that every scalar block element ``A[i, k]`` is a contiguous
-B-wide vector.  Every block operation (Cholesky, triangular solve, matmul)
-then unrolls -- at trace time, d is static -- into O(d^3) fused vector ops on
-[B]-shaped arrays, which XLA maps directly onto the 8x128 VPU with full lane
-utilisation.  This is the opposite of the reference implementation
-(cunningham-lab/cyclic-gps, cyclic_gps/cyclic_reduction.py:227-254), which
-keeps blocks batch-major and relies on torch's batched ``cholesky`` /
-``triangular_solve`` loops.
+``[d, d, B]`` so the huge batch axis is the minor (lane) dimension and every
+block operation vectorises across the whole batch.  This is the opposite of
+the reference implementation (cunningham-lab/cyclic-gps,
+cyclic_gps/cyclic_reduction.py:227-254), which keeps blocks batch-major and
+relies on torch's batched ``cholesky`` / ``triangular_solve``.
+
+All factorizations/solves are expressed as **d-step column sweeps** over
+whole [d, B] / [d, d, B] arrays (outer-product Cholesky downdates,
+substitution sweeps, matmul as a sum of k outer products).  With d static
+this unrolls to O(d) wide vector ops per primitive -- small HLO programs
+(fast XLA compiles even for log2(N) unrolled reduction levels) that fuse
+into bandwidth-bound kernels.
 
 Conventions
 -----------
@@ -64,149 +68,117 @@ def identity_like(a: Array) -> Array:
 
 
 def matmul(a: Array, b: Array, ta: bool = False, tb: bool = False) -> Array:
-    """Per-block matmul of em batches, unrolled over block elements.
+    """Per-block matmul of em batches as a sum of k outer products.
 
     Computes ``op(a) @ op(b)`` per block where ``op`` optionally transposes.
-    a: [d, p, B] (or [p, d, B] if ta), b: [p, e, B] (or [e, p, B] if tb).
+    a: [d, p, B] (or transposed), b: [p, e, B] (or transposed) -> [d, e, B].
     """
     if ta:
         a = transpose(a)
     if tb:
         b = transpose(b)
-    d, p, _ = a.shape
-    e = b.shape[1]
-    rows = []
-    for i in range(d):
-        row = []
-        for j in range(e):
-            acc = a[i, 0] * b[0, j]
-            for k in range(1, p):
-                acc = acc + a[i, k] * b[k, j]
-            row.append(acc)
-        rows.append(jnp.stack(row, axis=0))
-    return jnp.stack(rows, axis=0)
+    p = a.shape[1]
+    acc = a[:, 0, None, :] * b[None, 0, :, :]
+    for k in range(1, p):
+        acc = acc + a[:, k, None, :] * b[None, k, :, :]
+    return acc
 
 
 def matvec(a: Array, x: Array, ta: bool = False) -> Array:
     """Per-block matrix-vector product: a [d, p, B], x [p, B] -> [d, B]."""
     if ta:
         a = transpose(a)
-    d, p, _ = a.shape
-    out = []
-    for i in range(d):
-        acc = a[i, 0] * x[0]
-        for k in range(1, p):
-            acc = acc + a[i, k] * x[k]
-        out.append(acc)
-    return jnp.stack(out, axis=0)
+    p = a.shape[1]
+    acc = a[:, 0, :] * x[None, 0, :]
+    for k in range(1, p):
+        acc = acc + a[:, k, :] * x[None, k, :]
+    return acc
+
+
+def _col_mask(d: int, j: int, dtype) -> Array:
+    """[d, 1] mask selecting rows >= j."""
+    return (jnp.arange(d) >= j).astype(dtype)[:, None]
 
 
 def cholesky(a: Array, jitter: float = 0.0) -> Tuple[Array, Array]:
     """Per-block lower Cholesky of an em batch of SPD blocks.
 
-    Returns ``(L, inv_diag)`` where ``inv_diag[i] = 1 / L[i, i]`` ([d, B]),
-    kept so downstream triangular solves multiply instead of divide.
-    Unrolled: ~d^3/6 multiply-adds, d sqrt, d reciprocals -- all [B]-wide.
+    Outer-product form: d steps, each extracting one scaled column and
+    applying a rank-1 downdate to the trailing submatrix.  Returns
+    ``(L, inv_diag)`` with ``inv_diag[j] = 1 / L[j, j]`` ([d, B]) so
+    downstream triangular solves multiply instead of divide.
     """
     d = a.shape[0]
-    L = [[None] * d for _ in range(d)]
-    inv = [None] * d
+    x = a + jitter * jnp.eye(d, dtype=a.dtype)[:, :, None] if jitter else a
+    cols = []
+    invs = []
     for j in range(d):
-        s = a[j, j] + jitter if jitter else a[j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        Ljj = jnp.sqrt(s)
-        L[j][j] = Ljj
-        inv[j] = 1.0 / Ljj
-        for i in range(j + 1, d):
-            t = a[i, j]
-            for k in range(j):
-                t = t - L[i][k] * L[j][k]
-            L[i][j] = t * inv[j]
-    zero = jnp.zeros_like(a[0, 0])
-    rows = [
-        jnp.stack([L[i][j] if j <= i else zero for j in range(d)], axis=0)
-        for i in range(d)
-    ]
-    return jnp.stack(rows, axis=0), jnp.stack(inv, axis=0)
+        piv_inv = 1.0 / jnp.sqrt(x[j, j])
+        col = x[:, j] * (piv_inv[None, :] * _col_mask(d, j, a.dtype))
+        cols.append(col)
+        invs.append(piv_inv)
+        if j + 1 < d:
+            x = x - col[:, None, :] * col[None, :, :]
+    L = jnp.stack(cols, axis=1)  # columns j -> axis 1
+    return L, jnp.stack(invs, axis=0)
 
 
 def chol_log_diag_sum(L: Array) -> Array:
-    """sum_i log L[i, i] per block, summed over the whole batch -> scalar."""
-    d = L.shape[0]
-    acc = jnp.sum(jnp.log(L[0, 0]))
-    for i in range(1, d):
-        acc = acc + jnp.sum(jnp.log(L[i, i]))
-    return acc
+    """sum log L[j, j] over blocks and batch -> scalar."""
+    diag = jnp.diagonal(L, axis1=0, axis2=1)  # [B, d]
+    return jnp.sum(jnp.log(diag))
 
 
 def solve_lower(L: Array, inv_diag: Array, y: Array) -> Array:
     """Per-block lower-triangular solve ``L X = Y`` with matrix RHS.
 
     L: [d, d, B], inv_diag: [d, B], y: [d, e, B] -> x: [d, e, B].
-    Forward substitution unrolled over d.
+    Forward substitution as d rank-1 updates on the residual.
     """
     d = L.shape[0]
-    e = y.shape[1]
-    X = []
+    res = y
+    rows = []
     for i in range(d):
-        row = []
-        for j in range(e):
-            t = y[i, j]
-            for k in range(i):
-                t = t - L[i, k] * X[k][j]
-            row.append(t * inv_diag[i])
-        X.append(row)
-    return jnp.stack([jnp.stack(r, axis=0) for r in X], axis=0)
+        xi = res[i] * inv_diag[i][None, :]  # [e, B]
+        rows.append(xi)
+        if i + 1 < d:
+            res = res - L[:, i, None, :] * xi[None, :, :]
+    return jnp.stack(rows, axis=0)
 
 
 def solve_lower_vec(L: Array, inv_diag: Array, y: Array) -> Array:
     """Per-block lower-triangular solve ``L x = y`` with vector RHS [d, B]."""
     d = L.shape[0]
-    x = []
+    res = y
+    comps = []
     for i in range(d):
-        t = y[i]
-        for k in range(i):
-            t = t - L[i, k] * x[k]
-        x.append(t * inv_diag[i])
-    return jnp.stack(x, axis=0)
+        xi = res[i] * inv_diag[i]  # [B]
+        comps.append(xi)
+        if i + 1 < d:
+            res = res - L[:, i, :] * xi[None, :]
+    return jnp.stack(comps, axis=0)
 
 
 def solve_lower_t_vec(L: Array, inv_diag: Array, y: Array) -> Array:
     """Per-block solve ``L^T x = y`` (back substitution), vector RHS [d, B]."""
     d = L.shape[0]
-    x = [None] * d
+    res = y
+    comps = [None] * d
     for i in reversed(range(d)):
-        t = y[i]
-        for k in range(i + 1, d):
-            t = t - L[k, i] * x[k]
-        x[i] = t * inv_diag[i]
-    return jnp.stack(x, axis=0)
+        xi = res[i] * inv_diag[i]
+        comps[i] = xi
+        if i > 0:
+            res = res - L[i, :, :] * xi[None, :]  # (L^T)[:, i] = L[i, :]
+    return jnp.stack(comps, axis=0)
 
 
 def tri_lower_inverse(L: Array, inv_diag: Array) -> Array:
-    """Per-block inverse of a lower-triangular em batch.
-
-    M = L^{-1}: M[i, i] = 1/L[i, i]; for i > j,
-    M[i, j] = -(1/L[i, i]) * sum_{j <= k < i} L[i, k] M[k, j].
-    The reference inverts with a dense ``linalg.inv``
-    (cyclic_reduction.py:475,484); this exploits triangularity.
-    """
-    d = L.shape[0]
-    M = [[None] * d for _ in range(d)]
-    zero = jnp.zeros_like(L[0, 0])
-    for j in range(d):
-        M[j][j] = inv_diag[j]
-        for i in range(j + 1, d):
-            t = L[i, j] * M[j][j]
-            for k in range(j + 1, i):
-                t = t + L[i, k] * M[k][j]
-            M[i][j] = -t * inv_diag[i]
-    rows = [
-        jnp.stack([M[i][j] if j <= i else zero for j in range(d)], axis=0)
-        for i in range(d)
-    ]
-    return jnp.stack(rows, axis=0)
+    """Per-block inverse of a lower-triangular em batch via a triangular
+    solve against the identity.  The reference inverts with a dense
+    ``linalg.inv`` (cyclic_reduction.py:475,484); this exploits
+    triangularity."""
+    eye = identity_like(L)
+    return solve_lower(L, inv_diag, eye)
 
 
 # ---------------------------------------------------------------------------

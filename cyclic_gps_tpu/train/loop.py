@@ -1,0 +1,142 @@
+"""Training: jitted optax loop replacing the reference's PyTorch Lightning
+integration (reference models.py:374-392, train_leg.py:36-37).
+
+The reference trains full-batch (one "batch" = the whole series) with Adam
+or LBFGS and a reduce-on-plateau scheduler monitoring "NLL".  Here the
+entire update -- likelihood, gradient, optimiser -- is one jitted function;
+`fit` drives it from the host and collects metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cyclic_gps_tpu.models import leg
+
+Array = jnp.ndarray
+
+
+def nll_loss(params: leg.LEGParams, ts: Array, xs: Array) -> Array:
+    """-log_likelihood / nobs (reference models.py:374-381:
+    nobs = batch * N * obs_dim; batch is 1 here)."""
+    nobs = xs.size
+    return -leg.log_likelihood(params, ts, xs) / nobs
+
+
+def make_optimizer(
+    name: str = "adam",
+    lr: float = 1e-2,
+    reduce_on_plateau: bool = True,
+) -> optax.GradientTransformation:
+    """Adam (default) or LBFGS, optionally wrapped with a
+    reduce-on-plateau LR scheduler monitoring the loss (the reference's
+    ReduceLROnPlateau, models.py:384-392)."""
+    name = name.lower()
+    if name == "adam":
+        opt = optax.adam(lr)
+    elif name in ("lbfgs", "bfgs"):
+        opt = optax.lbfgs(learning_rate=lr)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if reduce_on_plateau and name == "adam":
+        opt = optax.chain(
+            opt,
+            optax.contrib.reduce_on_plateau(
+                factor=0.1, patience=10, cooldown=0, accumulation_size=5
+            ),
+        )
+    return optax.with_extra_args_support(opt)
+
+
+@partial(jax.jit, static_argnames=("optimizer",))
+def train_step(
+    params: leg.LEGParams,
+    opt_state,
+    ts: Array,
+    xs: Array,
+    optimizer: optax.GradientTransformation,
+):
+    """One full-batch gradient step; returns (params, opt_state, loss)."""
+    loss, grads = jax.value_and_grad(nll_loss)(params, ts, xs)
+    updates, opt_state = optimizer.update(
+        grads, opt_state, params, value=loss, grad=grads,
+        value_fn=lambda p: nll_loss(p, ts, xs),
+    )
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@dataclass
+class FitResult:
+    params: leg.LEGParams
+    losses: List[float] = field(default_factory=list)
+
+
+def fit(
+    params: leg.LEGParams,
+    ts: Array,
+    xs: Array,
+    num_steps: int = 1000,
+    optimizer: str = "adam",
+    lr: float = 1e-2,
+    log_every: int = 100,
+    callback: Optional[Callable[[int, float], None]] = None,
+) -> FitResult:
+    """Full-batch training loop (the reference's
+    ``pl.Trainer(max_epochs=...).fit`` equivalent)."""
+    opt = make_optimizer(optimizer, lr)
+    opt_state = opt.init(params)
+    losses = []
+    for step in range(num_steps):
+        params, opt_state, loss = train_step(params, opt_state, ts, xs, opt)
+        loss_f = float(loss)
+        losses.append(loss_f)
+        if callback is not None:
+            callback(step, loss_f)
+        elif log_every and step % log_every == 0:
+            print(f"step {step:5d}  NLL {loss_f:.6f}")
+    return FitResult(params=params, losses=losses)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing: params as a plain npz pytree (the reference pickles
+# torch params, train_leg.py:40-62; the "inject known params" pathway is
+# how parity vs the original implementation is done,
+# direct_posterior_comparison.py:35-40).
+# ---------------------------------------------------------------------------
+
+
+def save_params(path: str, params: leg.LEGParams) -> None:
+    np.savez(
+        path,
+        n_params=np.asarray(params.n_params),
+        r_params=np.asarray(params.r_params),
+        lambda_params=np.asarray(params.lambda_params),
+        b=np.asarray(params.b),
+    )
+
+
+def load_params(path: str, dtype=None) -> leg.LEGParams:
+    data = np.load(path)
+    arrs = [data[k] for k in ("n_params", "r_params", "lambda_params", "b")]
+    if dtype is not None:
+        arrs = [a.astype(dtype) for a in arrs]
+    return leg.LEGParams(*map(jnp.asarray, arrs))
+
+
+def params_from_arrays(n, r, lam, b, dtype=jnp.float64) -> leg.LEGParams:
+    """Build params from raw packed arrays (e.g. exported from another
+    implementation) -- the parity-injection pathway."""
+    return leg.LEGParams(
+        jnp.asarray(n, dtype=dtype),
+        jnp.asarray(r, dtype=dtype),
+        jnp.asarray(lam, dtype=dtype),
+        jnp.asarray(b, dtype=dtype),
+    )

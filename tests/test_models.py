@@ -1,0 +1,205 @@
+"""LEG model construction and shape tests (port of reference
+tests/test_models.py) plus posterior / prediction parity against dense
+oracles and the Kalman smoother.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cyclic_gps_tpu.baselines import dense, kalman
+from cyclic_gps_tpu.data.synthetic import generate_data
+from cyclic_gps_tpu.models import leg
+
+
+def test_parameter_packing():
+    params = leg.init_params(jax.random.key(0), rank=3, obs_dim=2,
+                             dtype=jnp.float64)
+    assert params.n_params.shape == (6,)
+    assert params.r_params.shape == (3,)
+    assert params.lambda_params.shape == (3,)
+    assert params.b.shape == (2, 3)
+    assert leg.parameter_count(3, 2) == 18
+
+    # N init: identity packed into lower-tri (reference test_models.py:14-17)
+    np.testing.assert_allclose(
+        np.asarray(params.n_params), [1.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+    )
+    # scatter back gives the identity
+    np.testing.assert_allclose(np.asarray(leg.n_matrix(params)), np.eye(3))
+
+    # B init: 0.5 * ones / row norm
+    b_expect = 0.5 * np.ones((2, 3)) / np.sqrt(3)
+    np.testing.assert_allclose(np.asarray(params.b), b_expect)
+
+    # R is antisymmetric up to packing
+    r = np.asarray(leg.r_matrix(params))
+    assert np.allclose(np.diag(r), 0)
+
+    # Lambda Lambda^T symmetric positive definite
+    llt = np.asarray(leg.lambda_lambda_t(params))
+    assert llt.shape == (2, 2)
+    np.testing.assert_allclose(llt, llt.T)
+    assert np.all(np.linalg.eigvalsh(llt) > 0)
+
+
+def test_g_matrix():
+    params = leg.init_params(jax.random.key(1), rank=4, obs_dim=2,
+                             dtype=jnp.float64)
+    g = np.asarray(leg.g_matrix(params))
+    n = np.asarray(leg.n_matrix(params))
+    r = np.asarray(leg.r_matrix(params))
+    np.testing.assert_allclose(g, n @ n.T + r - r.T + 1e-5 * np.eye(4))
+    # G + G^T = 2 N N^T + 2e-5 I is PSD -> stable generator
+    assert np.all(np.linalg.eigvalsh(g + g.T) > 0)
+
+
+def test_peg_precision_shapes_and_value():
+    rank, num_obs = 3, 100
+    params = leg.init_params(jax.random.key(2), rank=rank, obs_dim=2,
+                             dtype=jnp.float64)
+    g = leg.g_matrix(params)
+    ts = jnp.linspace(0.0, 10.0, num_obs, dtype=jnp.float64)
+    diag, off = leg.peg_precision(g, ts)
+    assert diag.shape == (num_obs, rank, rank)
+    assert off.shape == (num_obs - 1, rank, rank)
+
+    # the precision must invert the dense prior covariance (small case)
+    ts_s = jnp.asarray(np.sort(np.random.RandomState(0).rand(12)) * 5,
+                       dtype=jnp.float64)
+    diag, off = leg.peg_precision(g, ts_s)
+    n = 12
+    J = np.zeros((n * rank, n * rank))
+    for i in range(n):
+        J[i*rank:(i+1)*rank, i*rank:(i+1)*rank] = np.asarray(diag[i])
+    for i in range(n - 1):
+        J[(i+1)*rank:(i+2)*rank, i*rank:(i+1)*rank] = np.asarray(off[i])
+        J[i*rank:(i+1)*rank, (i+1)*rank:(i+2)*rank] = np.asarray(off[i]).T
+    C = np.asarray(dense.prior_covariance(ts_s, g))
+    np.testing.assert_allclose(J @ C, np.eye(n * rank), atol=1e-8)
+
+
+def test_insample_posterior_matches_kalman_smoother():
+    """CR posterior mean == RTS smoother state estimates (regular grid);
+    the reference asserts this in kalman_timing_script.py:53 and
+    kalman_generation_script.py:28."""
+    n, d, rank = 60, 2, 4
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="regular", seed=5)
+    params = leg.init_params(jax.random.key(3), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+
+    mean, cov_diag, cov_off = leg.insample_posterior(params, ts, xs)
+
+    ssm = kalman.leg_to_ssm(params, ts, use_approximation=False)
+    sm_mean, sm_cov = kalman.smooth_sequential(ssm, xs)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(sm_mean),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov_diag), np.asarray(sm_cov),
+                               rtol=1e-8, atol=1e-8)
+
+    # parallel smoother agrees with sequential
+    pm, pc = kalman.smooth_parallel(ssm, xs)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(sm_mean),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pc), np.asarray(sm_cov),
+                               rtol=1e-7, atol=1e-9)
+
+
+def _dense_latent_predictive(params, ts, xs, t_star):
+    """Exact dense GP predictive of the latent at t_star (numpy oracle)."""
+    rank = params.rank
+    ts_np = np.asarray(ts)
+    g = np.asarray(leg.g_matrix(params))
+    b = np.asarray(params.b)
+    llt = np.asarray(leg.lambda_lambda_t(params))
+    n = len(ts_np)
+
+    def cross_cov(t1, t2):
+        import scipy.linalg as sla
+        d = t1 - t2
+        if d >= 0:
+            return sla.expm(-0.5 * d * g)
+        return sla.expm(-0.5 * (-d) * g).T
+
+    sig_tt = np.block([[cross_cov(ti, tj) for tj in ts_np] for ti in ts_np])
+    b_tilde = np.kron(np.eye(n), b)
+    cov_xx = b_tilde @ sig_tt @ b_tilde.T + np.kron(np.eye(n), llt)
+    sig_star_t = np.hstack([cross_cov(t_star, tj) for tj in ts_np])
+    cov_zx = sig_star_t @ b_tilde.T
+    x = np.asarray(xs).reshape(-1)
+    mean = cov_zx @ np.linalg.solve(cov_xx, x)
+    cov = np.eye(rank) - cov_zx @ np.linalg.solve(cov_xx, cov_zx.T)
+    return mean, cov
+
+
+@pytest.mark.parametrize("t_star_kind", ["interp", "forward", "backward"])
+def test_intercast_matches_dense_gp(t_star_kind):
+    """The vmapped intercast equals the exact dense GP predictive: the
+    Markov-conditioning shortcut (reference models.py:394-514) is exact."""
+    n, d, rank = 25, 2, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
+                           seed=11)
+    params = leg.init_params(jax.random.key(4), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+
+    ts_np = np.asarray(ts)
+    if t_star_kind == "interp":
+        t_star = 0.6 * ts_np[10] + 0.4 * ts_np[11]
+    elif t_star_kind == "forward":
+        t_star = ts_np[-1] + 1.7
+    else:
+        t_star = ts_np[0] - 2.3
+
+    target = jnp.asarray([t_star], dtype=jnp.float64)
+    lat_mean, lat_cov = leg.predictive_posterior(params, ts, xs, target)
+
+    mean_o, cov_o = _dense_latent_predictive(params, ts, xs, t_star)
+    np.testing.assert_allclose(np.asarray(lat_mean[0]), mean_o,
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lat_cov[0]), cov_o,
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_intercast_exact_hits_and_data_space():
+    n, d, rank = 20, 1, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
+                           seed=13)
+    params = leg.init_params(jax.random.key(5), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+
+    mean, cov_diag, cov_off = leg.insample_posterior(params, ts, xs)
+    # targets hitting the first and last observation exactly
+    target = jnp.asarray([float(ts[0]), float(ts[-1])], dtype=jnp.float64)
+    lat_mean, lat_cov = leg.intercast(params, mean, cov_diag, cov_off, ts,
+                                      target)
+    np.testing.assert_allclose(np.asarray(lat_mean[0]), np.asarray(mean[0]))
+    np.testing.assert_allclose(np.asarray(lat_cov[0]), np.asarray(cov_diag[0]))
+    np.testing.assert_allclose(np.asarray(lat_mean[1]), np.asarray(mean[-1]))
+    np.testing.assert_allclose(np.asarray(lat_cov[1]),
+                               np.asarray(cov_diag[-1]))
+
+    # data-space mapping
+    pm, pc = leg.make_predictions(params, ts, xs, target)
+    np.testing.assert_allclose(
+        np.asarray(pm), np.asarray(lat_mean @ params.b.T)
+    )
+    assert pc.shape == (2, d, d)
+    # with observation noise the covariance is strictly larger
+    pm2, pc2 = leg.make_predictions(params, ts, xs, target,
+                                    include_obs_noise=True)
+    assert np.all(np.diagonal(np.asarray(pc2 - pc), axis1=1, axis2=2) > 0)
+
+
+def test_sample_from_prior():
+    """Sampling: stationary marginal covariance of z is I; x = Bz + noise."""
+    params = leg.init_params(jax.random.key(6), rank=2, obs_dim=1,
+                             dtype=jnp.float64)
+    ts = jnp.cumsum(jnp.ones(200, dtype=jnp.float64))
+    zs, xs = leg.sample_from_prior(params, jax.random.key(7), ts, num=300)
+    assert zs.shape == (300, 200, 2)
+    assert xs.shape == (300, 200, 1)
+    # pooled second moment of z approx identity (stationarity)
+    z = np.asarray(zs).reshape(-1, 2)
+    emp = z.T @ z / z.shape[0]
+    np.testing.assert_allclose(emp, np.eye(2), atol=0.05)
