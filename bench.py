@@ -6,11 +6,14 @@ Prints ONE JSON line:
 vs_baseline is the speedup factor against the driver's north-star target
 of 10 ms (BASELINE.md) -- the reference itself publishes no numbers.
 
+Engine: the partitioned block-Thomas solver (ops/partitioned.py), which
+computes J^{-1} y and log|J| in one streaming forward sweep + chain
+back-substitution.
+
 Timing notes for this rig (see .claude/skills/verify/SKILL.md): the PJRT
 relay result-caches identical calls and block_until_ready returns early,
 so we loop K iterations inside one jit with an input perturbation and
-synchronise via a host read, then subtract nothing (round-trip ~30 ms is
-amortised over K).
+synchronise via a host read (amortising the ~30 ms relay round-trip).
 """
 
 import json
@@ -21,11 +24,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cyclic_gps_tpu.ops import cyclic_reduction as cr
+from cyclic_gps_tpu.ops import partitioned as pt
 
 N = 1_000_000
 D = 5
-K = 20  # iterations inside one jit
+K = 10  # iterations inside one jit
 TARGET_MS = 10.0
 
 
@@ -46,12 +49,10 @@ def main():
     @jax.jit
     def loop(dg, of, y, c):
         def body(i, acc):
-            mh, ld = cr.mahal_and_logdet(
+            x, ld = pt.solve_and_logdet(
                 dg * (c + 1e-9 * i.astype(dg.dtype)), of, y
             )
-            x = cr.solve(cr.decompose(dg * (c + 1e-9 * i.astype(dg.dtype)),
-                                      of), y)
-            return acc + mh + ld + x[0, 0]
+            return acc + ld + x[0, 0] + x[-1, -1]
         return jax.lax.fori_loop(0, K, body, jnp.zeros((), dg.dtype))
 
     float(loop(diag, off, v, 1.0))  # compile + warm

@@ -36,6 +36,20 @@ from cyclic_gps_tpu.models import leg
 Array = jnp.ndarray
 
 
+def _highest_precision(fn):
+    """Full-precision matmuls: the matrices are tiny and the exact
+    discretisation Q = I - A A^T suffers bf16 MXU cancellation on TPU
+    otherwise."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 class SSM(NamedTuple):
     a: Array  # [T, r, r] per-step transition
     q: Array  # [T, r, r] per-step process noise
@@ -43,6 +57,7 @@ class SSM(NamedTuple):
     r: Array  # [obs, obs] observation noise
 
 
+@_highest_precision
 def leg_to_ssm(
     params: leg.LEGParams,
     ts: Array,
@@ -84,6 +99,7 @@ def _mvn_logpdf(x: Array, cov: Array) -> Array:
 
 
 @jax.jit
+@_highest_precision
 def filter_sequential(
     ssm: SSM, xs: Array
 ) -> Tuple[Array, Array, Array]:
@@ -115,6 +131,7 @@ def filter_sequential(
 
 
 @jax.jit
+@_highest_precision
 def smooth_sequential(ssm: SSM, xs: Array) -> Tuple[Array, Array]:
     """RTS smoother: (smoothed means [T, r], covs [T, r, r]).
 
@@ -218,6 +235,7 @@ def _filter_combine(elem_i, elem_j):
 
 
 @jax.jit
+@_highest_precision
 def filter_parallel(ssm: SSM, xs: Array) -> Tuple[Array, Array, Array]:
     """O(log T)-depth Kalman filter via jax.lax.associative_scan.
 
@@ -276,6 +294,7 @@ def _smoother_combine(elem_a, elem_b):
 
 
 @jax.jit
+@_highest_precision
 def smooth_parallel(ssm: SSM, xs: Array) -> Tuple[Array, Array]:
     """O(log T)-depth RTS smoother via associative scan over filtered
     moments (themselves computed with the parallel filter)."""

@@ -39,11 +39,31 @@ from cyclic_gps_tpu.models.gaussians import (
     gaussian_stitch,
 )
 from cyclic_gps_tpu.ops import cyclic_reduction as cr
+from cyclic_gps_tpu.ops import partitioned as pt
 
 Array = jnp.ndarray
 
 G_DIAG_EPS = 1e-5  # reference models.py:158
 LLT_DIAG_EPS = 1e-9  # reference models.py:165
+
+
+def _highest_precision(fn):
+    """Force full-precision matmuls inside model math.
+
+    On TPU the default matmul precision truncates f32 inputs to bfloat16 on
+    the MXU; the PEG precision construction computes I - e e^T with e close
+    to I for small time gaps, where bf16 cancellation makes the blocks
+    non-SPD and the downstream Cholesky NaNs (observed in training).  All
+    matrices here are tiny (d <= ~10), so full precision is free.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class LEGParams(NamedTuple):
@@ -144,6 +164,7 @@ def lambda_lambda_t(params: LEGParams) -> Array:
     return llt + LLT_DIAG_EPS * jnp.eye(params.obs_dim, dtype=llt.dtype)
 
 
+@_highest_precision
 def expm_batch(mats: Array) -> Array:
     """Batched matrix exponential of [..., d, d]."""
     flat = mats.reshape((-1,) + mats.shape[-2:])
@@ -151,6 +172,7 @@ def expm_batch(mats: Array) -> Array:
     return out.reshape(mats.shape)
 
 
+@_highest_precision
 def peg_precision(g: Array, ts: Array) -> Tuple[Array, Array]:
     """Block-tridiagonal precision of the PEG latent on grid ``ts``.
 
@@ -185,6 +207,7 @@ def peg_precision(g: Array, ts: Array) -> Tuple[Array, Array]:
 
 
 @jax.jit
+@_highest_precision
 def log_likelihood(params: LEGParams, ts: Array, xs: Array) -> Array:
     """Marginal log-likelihood log p(x | ts, params) in O(N) via CR.
 
@@ -207,19 +230,20 @@ def log_likelihood(params: LEGParams, ts: Array, xs: Array) -> Array:
     v = x_llt_inv @ params.b  # [N, rank]
 
     sig_inv_diag, sig_inv_off = peg_precision(g, ts)
-    sig_inv_logdet = cr.logdet_direct(sig_inv_diag, sig_inv_off)
+    sig_inv_logdet = pt.logdet(sig_inv_diag, sig_inv_off)
 
     llt_inv_b = jnp.linalg.solve(llt, params.b)
     bt_llt_inv_b = params.b.T @ llt_inv_b
     k_diag = sig_inv_diag + bt_llt_inv_b[None]
     k_off = sig_inv_off
 
-    k_mahal, k_logdet = cr.mahal_and_logdet(k_diag, k_off, v)
+    k_mahal, k_logdet = pt.mahal_and_logdet(k_diag, k_off, v)
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_inv_logdet
     return -0.5 * (mahal + logdet)
 
 
+@_highest_precision
 def posterior_precision(params: LEGParams, ts: Array) -> Tuple[Array, Array]:
     """K = Sigma^{-1} + I_N (x) B^T LLT^{-1} B (reference models.py:254-268)."""
     llt = lambda_lambda_t(params)
@@ -229,6 +253,7 @@ def posterior_precision(params: LEGParams, ts: Array) -> Tuple[Array, Array]:
     return sig_inv_diag + bt_llt_inv_b[None], sig_inv_off
 
 
+@_highest_precision
 def compute_v(params: LEGParams, xs: Array) -> Array:
     """v = (LLT^{-1} x) B (reference models.py:270-280)."""
     llt = lambda_lambda_t(params)
@@ -236,6 +261,7 @@ def compute_v(params: LEGParams, xs: Array) -> Array:
 
 
 @jax.jit
+@_highest_precision
 def insample_posterior(
     params: LEGParams, ts: Array, xs: Array
 ) -> Tuple[Array, Array, Array]:
@@ -246,9 +272,8 @@ def insample_posterior(
     cov_off[i] = Cov(z_{i+1}, z_i | x).
     """
     k_diag, k_off = posterior_precision(params, ts)
-    decomp = cr.decompose(k_diag, k_off)
-    mean = cr.solve(decomp, compute_v(params, xs))
-    cov_diag, cov_off = cr.inverse_blocks(decomp)
+    mean = pt.solve(k_diag, k_off, compute_v(params, xs))
+    cov_diag, cov_off = cr.inverse_blocks(cr.decompose(k_diag, k_off))
     return mean, cov_diag, cov_off
 
 
@@ -288,6 +313,7 @@ def _interpolate(rank, eg1, eg2, prev_mean, prev_cov, prev_cross, next_mean,
 
 
 @jax.jit
+@_highest_precision
 def intercast(
     params: LEGParams,
     ip_mean: Array,
@@ -389,6 +415,7 @@ def make_predictions(
 
 
 @partial(jax.jit, static_argnames=("num",))
+@_highest_precision
 def sample_from_prior(
     params: LEGParams, key: jax.Array, ts: Array, num: int = 1
 ) -> Tuple[Array, Array]:

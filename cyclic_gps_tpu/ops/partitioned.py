@@ -1,0 +1,314 @@
+"""Partitioned block-Thomas engine for SPD block-tridiagonal systems.
+
+The second (and faster) of the two solver engines in this framework, used
+for the large-N hot paths.  Where cyclic reduction (ops/cyclic_reduction.py)
+unrolls log2(N) halving levels -- O(log N) XLA program size and ~2x the
+memory traffic of a single streaming pass -- this engine uses classic
+domain decomposition:
+
+  * the chain of N blocks is cut into C chunks of s blocks; chunk
+    boundaries (every s-th block) are kept, interiors are eliminated;
+  * all C interiors are eliminated *simultaneously*: one `lax.scan` over
+    the s-1 interior positions with the huge chunk axis C vectorised on
+    the VPU lanes (arrays are stored "chunk-major": [step, d, d, C]);
+  * the Schur complement onto the boundaries is again block-tridiagonal
+    with C blocks and is finished by the cyclic-reduction engine.
+
+Consequences: a single streaming pass over the data (bandwidth-optimal),
+an O(1)-size scan body (compiles in seconds regardless of N), autodiff
+through `lax.scan` for free, and chunk boundaries that align naturally
+with sequence sharding.
+
+Math (standard 2x2 block elimination): order unknowns [interiors; bnd].
+J = [[A, Bc], [Bc^T, S]] with A block-diagonal per chunk (tridiagonal
+chains).  Per chain, with block-Cholesky factors D_j (diagonal) and
+C_j = O_j D_j^{-T} (subdiagonal):
+  W0_j = row j of L^{-1} (coupling column to the LEFT boundary):
+         W0_1 = D_1^{-1} O_left;  W0_j = -D_j^{-1} C_{j-1} W0_{j-1},
+  W1   = D_{s-1}^{-1} O_right^T  (right coupling touches only row s-1),
+  w_j  = D_j^{-1} (y_j - C_{j-1} w_{j-1}).
+Reduced system over the C boundary blocks:
+  diag_c = R_{cs} - sum_j W0_j^T W0_j           (own chain, left side)
+                  - (W1^T W1)_{chain c-1}       (left neighbour's chain),
+  off_c  = -(W1^T W0_{s-1})_{chain c}           (= reduced J[b_{c+1}, b_c]),
+  rhs_c  = y_{cs} - sum_j W0_j^T w_j - (W1^T w_{s-1})_{chain c-1}.
+log|J| = 2 sum log diag D + log|reduced|;  y^T J^{-1} y = sum ||w||^2 +
+mahal(reduced, rhs).  Back-substitution for J^{-1} y:
+  x_{b} from the reduced solve, then per chain (j = s-1 .. 1):
+  x_j = D_j^{-T} (w_j - W0_j x_{b_c} - [j = s-1] W1 x_{b_{c+1}}
+                      - [j < s-1] C_j^T x_{j+1}).
+
+Everything reuses the element-major small-block ops (ops/smallblock.py)
+with batch = C.  The trailing-zero off-diagonal invariant (zero coupling
+past the end of the real data) makes padding exact, as in the CR engine:
+the last chunk's right coupling O_cm[s-1, :, :, C-1] is the padded zero
+slot, so W1 vanishes there and the reduced system keeps the invariant.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cyclic_reduction as cr
+from . import smallblock as sb
+
+Array = jnp.ndarray
+
+
+def default_chunk_len(n: int) -> int:
+    """Pick s so the scan depth and the reduced system are balanced."""
+    if n < 32768:
+        return 32
+    return 128
+
+
+_TERMINAL = 64  # below this, finish with cyclic reduction (tiny program)
+
+
+def _chunk_layout(diag: Array, off: Array, y: Optional[Array], s: int):
+    """Natural [N, d, d] blocks -> chunk-major element-major arrays.
+
+    Returns (R_cm [s, d, d, C], O_cm [s, d, d, C], y_cm [s, d, C] | None,
+    C).  Index i = c*s + j lives at [j, ..., c].  Padding blocks are
+    identity (diag) / zero (off, y) -- exact for logdet / mahal / solve.
+    """
+    n, d, _ = diag.shape
+    c = -(-n // s)
+    m = c * s
+    if m > n:
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=diag.dtype)[None], (m - n, d, d)
+        )
+        diag = jnp.concatenate([diag, eye], axis=0)
+    off = jnp.concatenate(
+        [off, jnp.zeros((m - n + 1, d, d), dtype=diag.dtype)], axis=0
+    )
+    R_cm = jnp.transpose(diag.reshape(c, s, d, d), (1, 2, 3, 0))
+    O_cm = jnp.transpose(off.reshape(c, s, d, d), (1, 2, 3, 0))
+    y_cm = None
+    if y is not None:
+        if m > n:
+            y = jnp.concatenate(
+                [y, jnp.zeros((m - n, d), dtype=y.dtype)], axis=0
+            )
+        y_cm = jnp.transpose(y.reshape(c, s, d), (1, 2, 0))
+    return R_cm, O_cm, y_cm, c
+
+
+class _SweepState(NamedTuple):
+    c_prev: Array  # [d, d, C]  C_j after step j
+    w0: Array  # [d, d, C]  W0_j
+    w: Array  # [d, C]     w_j
+    dj: Array  # [d, d, C]  D_j
+    invd: Array  # [d, C]
+    acc00: Array  # [d, d, C]  running sum W0^T W0
+    accy0: Array  # [d, C]     running sum W0^T w
+    mh: Array  # []         running sum ||w||^2
+    ld: Array  # []         running sum log diag D
+
+
+def _step(state: Optional[_SweepState], R_j, O_j, y_j, O_left, jitter):
+    """One elimination step.  ``state is None`` marks j = 1 (no previous
+    coupling; W0 seeded from the left-boundary coupling O_left)."""
+    if state is None:
+        P = R_j
+    else:
+        P = R_j - sb.matmul(state.c_prev, state.c_prev, tb=True)
+    D, invd = sb.cholesky(P, jitter=jitter)
+    if state is None:
+        w0 = sb.solve_lower(D, invd, O_left)
+        w = sb.solve_lower_vec(D, invd, y_j)
+        acc00 = sb.matmul(w0, w0, ta=True)
+        accy0 = sb.matvec(w0, w, ta=True)
+        mh = jnp.sum(w * w)
+        ld = sb.chol_log_diag_sum(D)
+    else:
+        w0 = -sb.solve_lower(D, invd, sb.matmul(state.c_prev, state.w0))
+        w = sb.solve_lower_vec(
+            D, invd, y_j - sb.matvec(state.c_prev, state.w)
+        )
+        acc00 = state.acc00 + sb.matmul(w0, w0, ta=True)
+        accy0 = state.accy0 + sb.matvec(w0, w, ta=True)
+        mh = state.mh + jnp.sum(w * w)
+        ld = state.ld + sb.chol_log_diag_sum(D)
+    c_new = sb.transpose(sb.solve_lower(D, invd, sb.transpose(O_j)))
+    return _SweepState(c_new, w0, w, D, invd, acc00, accy0, mh, ld)
+
+
+def _forward_sweep(R_cm, O_cm, y_cm, jitter, collect: bool):
+    """Eliminate all chunk interiors (j = 1 .. s-1).
+
+    Returns (final state, W1, stacked) where stacked (if ``collect``) holds
+    the per-step (D, invd, C, W0, w) for ALL interior steps j = 1..s-1,
+    leading axis s-1, used by back-substitution.
+    """
+    s = R_cm.shape[0]
+    state = _step(None, R_cm[1], O_cm[1], y_cm[1], O_cm[0], jitter)
+    first = (state.dj, state.invd, state.c_prev, state.w0, state.w)
+
+    stacked = None
+    if s > 2:
+        xs = (R_cm[2:], O_cm[2:], y_cm[2:])
+
+        def body(st, inp):
+            r_j, o_j, yy = inp
+            new = _step(st, r_j, o_j, yy, None, jitter)
+            out = (new.dj, new.invd, new.c_prev, new.w0, new.w) if collect \
+                else None
+            return new, out
+
+        state, rest = jax.lax.scan(body, state, xs)
+        if collect:
+            stacked = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                first, rest,
+            )
+    elif collect:
+        stacked = jax.tree.map(lambda a: a[None], first)
+
+    # right coupling: W1 = D_{s-1}^{-1} O_cm[s-1]^T (zero for the last
+    # chunk by the trailing-zero invariant)
+    w1 = sb.solve_lower(state.dj, state.invd, sb.transpose(O_cm[s - 1]))
+    return state, w1, stacked
+
+
+def _reduced_system(R_cm, y_cm, state, w1):
+    s11 = sb.matmul(w1, w1, ta=True)
+    red_diag = R_cm[0] - state.acc00 - sb.shift_down(s11)
+    red_off = -sb.matmul(w1, state.w0, ta=True)  # J[b_{c+1}, b_c]
+    red_rhs = (
+        y_cm[0]
+        - state.accy0
+        - sb.shift_down(sb.matvec(w1, state.w, ta=True))
+    )
+    return red_diag, red_off, red_rhs
+
+
+def _mahal_and_logdet_impl(diag, off, y, s, jitter):
+    """Recursive partitioned elimination: each pass shrinks N by ~s until
+    the terminal cyclic reduction (bounded program size at every level)."""
+    n = diag.shape[0]
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        return cr.mahal_and_logdet(diag, off, y, jitter=jitter)
+    R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, y, s)
+    state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter, collect=False)
+    red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
+    red_mh, red_ld = _mahal_and_logdet_impl(
+        sb.from_em(red_diag),
+        sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs),
+        None,
+        jitter,
+    )
+    return state.mh + red_mh, 2.0 * state.ld + red_ld
+
+
+@partial(jax.jit, static_argnames=("s", "jitter"))
+def mahal_and_logdet(
+    diag: Array,
+    off: Array,
+    y: Array,
+    s: Optional[int] = None,
+    jitter: float = 0.0,
+) -> Tuple[Array, Array]:
+    """Fused (y^T J^{-1} y, log|J|) via partitioned elimination.
+
+    Matches cr.mahal_and_logdet exactly (tests/test_partitioned.py); a
+    chain of streaming passes, each shrinking N by the chunk length.
+    """
+    return _mahal_and_logdet_impl(diag, off, y, s, jitter)
+
+
+@partial(jax.jit, static_argnames=("s", "jitter"))
+def logdet(
+    diag: Array, off: Array, s: Optional[int] = None, jitter: float = 0.0
+) -> Array:
+    """log|J| via partitioned elimination (no RHS)."""
+    n, d, _ = diag.shape
+    zeros = jnp.zeros((n, d), dtype=diag.dtype)
+    return mahal_and_logdet(diag, off, zeros, s=s, jitter=jitter)[1]
+
+
+def _solve_impl(diag, off, y, s, jitter):
+    """Returns (J^{-1} y, log|J|) -- the log-det falls out of the same
+    forward sweep for free."""
+    n, d = y.shape
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        decomp = cr.decompose(diag, off, jitter=jitter)
+        return cr.solve(decomp, y), cr.logdet(decomp)
+    R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, y, s)
+    state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                        collect=True)
+    red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
+
+    x_b, red_ld = _solve_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs), None, jitter,
+    )  # [C, d]
+    xb = sb.vec_to_em(x_b)  # [d, C] own-chunk boundary
+    xb_next = sb.shift_up(xb)  # next chunk's boundary (0 for last)
+
+    ds, invds, cs_, w0s, ws = stacked  # leading axis s-1, steps j=1..s-1
+
+    # last interior row j = s-1 (carries the W1 term, no x_{j+1})
+    x_last = sb.solve_lower_t_vec(
+        state.dj,
+        state.invd,
+        state.w
+        - sb.matvec(state.w0, xb)
+        - sb.matvec(w1, xb_next),
+    )
+
+    if s > 2:
+        def back(x_next, inp):
+            dj, invd, cj, w0j, wj = inp
+            rhs = (
+                wj
+                - sb.matvec(w0j, xb)
+                - sb.matvec(cj, x_next, ta=True)
+            )
+            x_j = sb.solve_lower_t_vec(dj, invd, rhs)
+            return x_j, x_j
+
+        inps = jax.tree.map(lambda a: a[:-1], (ds, invds, cs_, w0s, ws))
+        _, xs_rev = jax.lax.scan(back, x_last, inps, reverse=True)
+        interior = jnp.concatenate([xs_rev, x_last[None]], axis=0)
+    else:
+        interior = x_last[None]
+
+    # assemble [s, d, C] chunk-major solution, then back to natural order
+    x_cm = jnp.concatenate([xb[None], interior], axis=0)
+    x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, d)
+    return x_nat[:n], 2.0 * state.ld + red_ld
+
+
+@partial(jax.jit, static_argnames=("s", "jitter"))
+def solve(
+    diag: Array,
+    off: Array,
+    y: Array,
+    s: Optional[int] = None,
+    jitter: float = 0.0,
+) -> Array:
+    """J^{-1} y: recursive partitioned elimination + chain
+    back-substitution."""
+    return _solve_impl(diag, off, y, s, jitter)[0]
+
+
+@partial(jax.jit, static_argnames=("s", "jitter"))
+def solve_and_logdet(
+    diag: Array,
+    off: Array,
+    y: Array,
+    s: Optional[int] = None,
+    jitter: float = 0.0,
+) -> Tuple[Array, Array]:
+    """(J^{-1} y, log|J|) in a single forward sweep + back-substitution --
+    the headline benchmark op (BASELINE.md)."""
+    return _solve_impl(diag, off, y, s, jitter)

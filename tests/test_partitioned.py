@@ -1,0 +1,81 @@
+"""Partitioned block-Thomas engine vs the cyclic-reduction engine and
+dense oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.random as npr
+import pytest
+
+from cyclic_gps_tpu.ops import cyclic_reduction as cr
+from cyclic_gps_tpu.ops import partitioned as pt
+
+
+def well_conditioned(n, d, seed=0):
+    rng = npr.RandomState(seed)
+    q = rng.randn(n, d, d)
+    diag = q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d)
+    off = rng.randn(n - 1, d, d) / d
+    v = rng.randn(n, d)
+    return jnp.asarray(diag), jnp.asarray(off), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("d", [1, 3])
+@pytest.mark.parametrize("n", [16, 33, 64, 257, 1024])
+def test_matches_cyclic_reduction(n, d):
+    diag, off, v = well_conditioned(n, d, seed=n * 10 + d)
+    s = 4 if n < 257 else None  # small chunks to exercise the sweep
+
+    mh0, ld0 = cr.mahal_and_logdet(diag, off, v)
+    mh1, ld1 = pt.mahal_and_logdet(diag, off, v, s=s)
+    np.testing.assert_allclose(float(mh1), float(mh0), rtol=1e-12)
+    np.testing.assert_allclose(float(ld1), float(ld0), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(pt.logdet(diag, off, s=s)), float(ld0), rtol=1e-12
+    )
+
+    x0 = cr.solve(cr.decompose(diag, off), v)
+    x1 = pt.solve(diag, off, v, s=s)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=1e-12)
+
+    x2, ld2 = pt.solve_and_logdet(diag, off, v, s=s)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x0), atol=1e-12)
+    np.testing.assert_allclose(float(ld2), float(ld0), rtol=1e-12)
+
+
+def test_dense_parity():
+    n, d = 200, 2
+    diag, off, v = well_conditioned(n, d, seed=3)
+    J = np.zeros((n * d, n * d))
+    dg, of = np.asarray(diag), np.asarray(off)
+    for i in range(n):
+        J[i*d:(i+1)*d, i*d:(i+1)*d] = dg[i]
+    for i in range(n - 1):
+        J[(i+1)*d:(i+2)*d, i*d:(i+1)*d] = of[i]
+        J[i*d:(i+1)*d, (i+1)*d:(i+2)*d] = of[i].T
+    vv = np.asarray(v)
+    mh, ld = pt.mahal_and_logdet(diag, off, v, s=8)
+    assert np.allclose(float(mh), vv.ravel() @ np.linalg.solve(J, vv.ravel()))
+    assert np.allclose(float(ld), np.linalg.slogdet(J)[1])
+    x = pt.solve(diag, off, v, s=8)
+    assert np.allclose(np.asarray(x).ravel(), np.linalg.solve(J, vv.ravel()))
+
+
+def test_gradients_match_cr_engine():
+    """Autodiff through the scan-based sweep == autodiff through CR."""
+    n, d = 70, 2
+    diag, off, v = well_conditioned(n, d, seed=5)
+
+    def f_pt(a, b, c):
+        mh, ld = pt.mahal_and_logdet(a, b, c, s=8)
+        return mh + 0.5 * ld
+
+    def f_cr(a, b, c):
+        mh, ld = cr.mahal_and_logdet(a, b, c)
+        return mh + 0.5 * ld
+
+    g_pt = jax.grad(f_pt, argnums=(0, 1, 2))(diag, off, v)
+    g_cr = jax.grad(f_cr, argnums=(0, 1, 2))(diag, off, v)
+    for a, b in zip(g_pt, g_cr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
