@@ -82,8 +82,8 @@ def leg_to_ssm(
         n_mat = leg.n_matrix(params)
         q = diffs[:, None, None] * (n_mat @ n_mat.T)[None]
     else:
-        a = leg.expm_batch(-0.5 * diffs[:, None, None] * g[None])
-        q = jnp.eye(rank, dtype=g.dtype)[None] - a @ jnp.swapaxes(a, -1, -2)
+        # stable Van Loan construction of (A, Q = I - A A^T)
+        a, q = leg.transition_and_noise(g, diffs)
     return SSM(a, q, params.b, leg.lambda_lambda_t(params))
 
 

@@ -173,37 +173,92 @@ def expm_batch(mats: Array) -> Array:
 
 
 @_highest_precision
+def transition_and_noise(g: Array, diffs: Array) -> Tuple[Array, Array]:
+    """Per-gap transition e = expm(-.5 d G) and conditional covariance
+    Q = I - e e^T, computed WITHOUT cancellation via Van Loan's augmented
+    matrix exponential.
+
+    Forming I - e e^T directly loses ~log10(1/(d*|G|)) digits for small
+    gaps; at float32 the resulting PEG precision can be perturbed past
+    indefiniteness (observed: training NaNs once the learned process gets
+    smooth).  Van Loan (1978): with A = -G/2 and S = (G + G^T)/2 (the
+    stationary Lyapunov residual, so Q(d) = int_0^d e^{As} S e^{A^T s} ds),
+
+        expm([[A, S], [0, -A^T]] * d) = [[e, P], [0, e^{-T}]],
+        Q = P e^T,
+
+    which is accurate to the working precision of its entries.
+    Returns (e [T, r, r], q [T, r, r]).
+    """
+    r = g.shape[-1]
+    a = -0.5 * g
+    s = 0.5 * (g + g.T)
+    top = jnp.concatenate([a, s], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(a), -a.T], axis=-1)
+    m = jnp.concatenate([top, bot], axis=-2)  # [2r, 2r]
+    big = expm_batch(diffs[:, None, None] * m[None])
+    e = big[:, :r, :r]
+    p = big[:, :r, r:]
+    q = p @ jnp.swapaxes(e, -1, -2)
+    # exact symmetry (p e^T is symmetric up to roundoff)
+    q = 0.5 * (q + jnp.swapaxes(q, -1, -2))
+    return e, q
+
+
+@_highest_precision
 def peg_precision(g: Array, ts: Array) -> Tuple[Array, Array]:
     """Block-tridiagonal precision of the PEG latent on grid ``ts``.
 
-    Reference models.py:180-239.  With e_i = expm(-0.5 (t_{i+1}-t_i) G):
-      off_i  = -(I - e_i e_i^T)^{-1} e_i
-      diag_i = I + [e_{i} (I - e_i^T e_i)^{-1} e_i^T  if i < N-1 else 0]
-                 + [e_{i-1}^T (I - e_{i-1} e_{i-1}^T)^{-1} e_{i-1} if i > 0]
+    Reference models.py:180-239.  With e_i = expm(-0.5 (t_{i+1}-t_i) G),
+    Q1_i = I - e_i e_i^T and Q2_i = I - e_i^T e_i (both formed stably via
+    `transition_and_noise`):
+      off_i  = -Q1_i^{-1} e_i
+      diag_i = I + [e_{i-1} Q2_{i-1}^{-1} e_{i-1}^T  if i > 0]
+                 + [e_i^T Q1_i^{-1} e_i  if i < N-1]
+    (the chain-rule precision of the Markov factorisation: the left
+    interval contributes Q1_{i-1}^{-1} = I + e Q2^{-1} e^T by Woodbury,
+    the right interval contributes e^T Q1^{-1} e)
     The boundary terms implement the infinite lead-in/lead-out
     (models.py:226-237).  Returns ([N, r, r] diag, [N-1, r, r] lower-off).
     """
+    return peg_precision_and_logdet(g, ts)[:2]
+
+
+@_highest_precision
+def peg_precision_and_logdet(g: Array, ts: Array):
+    """(diag, off, log|Sigma^{-1}|) of the PEG prior on ``ts``.
+
+    The log-determinant has a closed form by Markovianity: the joint
+    density factorises into stationary unit-covariance conditionals, so
+    log|Sigma| = sum_i log|Q1_i| and log|Sigma^{-1}| = -log|Sigma|.  This
+    replaces the reference's extra cyclic-reduction pass over the bare
+    prior precision (models.py:349-353) -- the globally worst-conditioned
+    factorization in the model -- with an exact, cheap, unconditionally
+    stable formula.
+    """
     rank = g.shape[0]
     diffs = ts[1:] - ts[:-1]
-    expd = expm_batch(-0.5 * diffs[:, None, None] * g[None])
-    expd_t = jnp.swapaxes(expd, -1, -2)
+    e, q1 = transition_and_noise(g, diffs)
+    _, q2 = transition_and_noise(g.T, diffs)
+    e_t = jnp.swapaxes(e, -1, -2)
     eye = jnp.eye(rank, dtype=g.dtype)
 
-    # (I - e^T e)^{-1} e^T   and   (I - e e^T)^{-1} e
-    imgtginvgt = jnp.linalg.solve(eye - expd_t @ expd, expd_t)
-    imggtinvg = jnp.linalg.solve(eye - expd @ expd_t, expd)
+    q1_inv_e = jnp.linalg.solve(q1, e)
+    q2_inv_et = jnp.linalg.solve(q2, e_t)
 
-    off = -imggtinvg
-    d1 = expd @ imgtginvgt  # contribution from the interval to the right
-    d2 = expd_t @ imggtinvg  # contribution from the interval to the left
+    off = -q1_inv_e
+    d_left = e @ q2_inv_et  # left-interval term: Q1^{-1} - I (Woodbury)
+    d_right = e_t @ q1_inv_e  # right-interval term: e^T Q1^{-1} e
 
+    # diag_i = I + d_left[i-1] + d_right[i]  (gap g connects points g, g+1)
     zero = jnp.zeros((1, rank, rank), dtype=g.dtype)
     diag = (
         eye
-        + jnp.concatenate([d1, zero], axis=0)
-        + jnp.concatenate([zero, d2], axis=0)
+        + jnp.concatenate([zero, d_left], axis=0)
+        + jnp.concatenate([d_right, zero], axis=0)
     )
-    return diag, off
+    logdet_prior = jnp.sum(jnp.linalg.slogdet(q1)[1])
+    return diag, off, -logdet_prior
 
 
 @jax.jit
@@ -229,8 +284,9 @@ def log_likelihood(params: LEGParams, ts: Array, xs: Array) -> Array:
 
     v = x_llt_inv @ params.b  # [N, rank]
 
-    sig_inv_diag, sig_inv_off = peg_precision(g, ts)
-    sig_inv_logdet = pt.logdet(sig_inv_diag, sig_inv_off)
+    sig_inv_diag, sig_inv_off, sig_inv_logdet = peg_precision_and_logdet(
+        g, ts
+    )
 
     llt_inv_b = jnp.linalg.solve(llt, params.b)
     bt_llt_inv_b = params.b.T @ llt_inv_b
@@ -430,8 +486,7 @@ def sample_from_prior(
     rank = params.rank
     g = g_matrix(params)
     diffs = ts[1:] - ts[:-1]
-    a = expm_batch(-0.5 * diffs[:, None, None] * g[None])
-    q = jnp.eye(rank, dtype=g.dtype) - a @ jnp.swapaxes(a, -1, -2)
+    a, q = transition_and_noise(g, diffs)
     q_chol = jnp.linalg.cholesky(
         q + 1e-12 * jnp.eye(rank, dtype=g.dtype)
     )

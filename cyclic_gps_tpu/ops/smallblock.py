@@ -100,6 +100,9 @@ def _col_mask(d: int, j: int, dtype) -> Array:
     return (jnp.arange(d) >= j).astype(dtype)[:, None]
 
 
+PIVOT_FLOOR_F32 = 1e-6  # relative pivot floor for single precision
+
+
 def cholesky(a: Array, jitter: float = 0.0) -> Tuple[Array, Array]:
     """Per-block lower Cholesky of an em batch of SPD blocks.
 
@@ -107,14 +110,29 @@ def cholesky(a: Array, jitter: float = 0.0) -> Tuple[Array, Array]:
     applying a rank-1 downdate to the trailing submatrix.  Returns
     ``(L, inv_diag)`` with ``inv_diag[j] = 1 / L[j, j]`` ([d, B]) so
     downstream triangular solves multiply instead of divide.
+
+    At single precision, pivots are floored at ``PIVOT_FLOOR_F32`` times
+    the original diagonal entry: for matrices whose global condition
+    number exceeds 1/eps_f32 (e.g. the LEG posterior precision for very
+    smooth learned processes), roundoff drives true-positive pivots
+    negative and the factorization would NaN.  This is the jit-friendly
+    analogue of the reference's jitter-retrying ``psd_safe_cholesky``
+    (cyclic_reduction.py:7,13); at float64 the floor is off and the
+    factorization is exact.
     """
     d = a.shape[0]
     x = a + jitter * jnp.eye(d, dtype=a.dtype)[:, :, None] if jitter else a
+    floor_rel = PIVOT_FLOOR_F32 if a.dtype == jnp.float32 else 0.0
     cols = []
     invs = []
     for j in range(d):
-        piv_inv = 1.0 / jnp.sqrt(x[j, j])
+        piv = x[j, j]
+        if floor_rel:
+            piv = jnp.maximum(piv, floor_rel * a[j, j])
+        piv_inv = 1.0 / jnp.sqrt(piv)
         col = x[:, j] * (piv_inv[None, :] * _col_mask(d, j, a.dtype))
+        if floor_rel:
+            col = col.at[j].set(jnp.sqrt(piv))
         cols.append(col)
         invs.append(piv_inv)
         if j + 1 < d:

@@ -153,10 +153,12 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
     trailing-zero invariant.
 
     Globally (reference models.py:180-239): with e_i = expm(-.5 d_i G),
-      off[i]  = -(I - e_i e_i^T)^{-1} e_i            (i < N-1; off[N-1] = 0)
-      diag[i] = I + d1[i if i<N-1 else skip] + d2[i-1 if i>0]
-    d_i needs ts[i+1] (one halo element from the right neighbour); the d2
-    term needs a one-block shift_down (halo from the left neighbour).
+    Q1 = I - e e^T, Q2 = I - e^T e:
+      off[i]  = -Q1_i^{-1} e_i                       (i < N-1; off[N-1] = 0)
+      diag[i] = I + [e Q2^{-1} e^T]_{i-1} + [e^T Q1^{-1} e]_i
+    d_i needs ts[i+1] (one halo element from the right neighbour); the
+    left-interval term needs a one-block shift_down (halo from the left
+    neighbour).
     """
     shifts = _halo_shifts(axis)
     rank = g.shape[0]
@@ -172,17 +174,18 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
     )
     diffs = jnp.where(is_global_last, 1.0, diffs)
 
-    expd = leg.expm_batch(-0.5 * diffs[:, None, None] * g[None])
-    expd_t = jnp.swapaxes(expd, -1, -2)
+    e, q1 = leg.transition_and_noise(g, diffs)
+    _, q2 = leg.transition_and_noise(g.T, diffs)
+    e_t = jnp.swapaxes(e, -1, -2)
     eye = jnp.eye(rank, dtype=g.dtype)
-    imgtginvgt = jnp.linalg.solve(eye - expd_t @ expd, expd_t)
-    imggtinvg = jnp.linalg.solve(eye - expd @ expd_t, expd)
+    q1_inv_e = jnp.linalg.solve(q1, e)
+    q2_inv_et = jnp.linalg.solve(q2, e_t)
 
     mask = (~is_global_last)[:, None, None]
-    off_em = sb.to_em(jnp.where(mask, -imggtinvg, 0.0))
-    d1 = sb.to_em(jnp.where(mask, expd @ imgtginvgt, 0.0))
-    d2 = sb.to_em(jnp.where(mask, expd_t @ imggtinvg, 0.0))
-    diag_em = eye[:, :, None] + d1 + shifts.shift_down(d2)
+    off_em = sb.to_em(jnp.where(mask, -q1_inv_e, 0.0))
+    d_left = sb.to_em(jnp.where(mask, e @ q2_inv_et, 0.0))
+    d_right = sb.to_em(jnp.where(mask, e_t @ q1_inv_e, 0.0))
+    diag_em = eye[:, :, None] + shifts.shift_down(d_left) + d_right
     return diag_em, off_em
 
 

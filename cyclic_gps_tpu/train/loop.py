@@ -30,6 +30,26 @@ def nll_loss(params: leg.LEGParams, ts: Array, xs: Array) -> Array:
     return -leg.log_likelihood(params, ts, xs) / nobs
 
 
+def nll_loss_kalman(params: leg.LEGParams, ts: Array, xs: Array) -> Array:
+    """Same NLL through the parallel Kalman filter.
+
+    Mathematically identical to `nll_loss`, but numerically robust in
+    single precision: the precision-form likelihood factorises
+    K = Sigma^{-1} + ..., whose blocks scale like 1/(dt * lambda_min(sym G))
+    and overwhelm f32 once the learned process gets very smooth, whereas
+    the filter's innovation covariances are bounded below by the
+    observation noise.  Use for f32 training runs that drift into smooth
+    regimes; ~2-3x slower than the partitioned-solver loss.
+    """
+    from cyclic_gps_tpu.baselines import kalman
+
+    ssm = kalman.leg_to_ssm(params, ts)
+    return -kalman.filter_parallel(ssm, xs)[2] / xs.size
+
+
+LOSSES = {"cr": nll_loss, "kalman": nll_loss_kalman}
+
+
 def make_optimizer(
     name: str = "adam",
     lr: float = 1e-2,
@@ -55,22 +75,24 @@ def make_optimizer(
     return optax.with_extra_args_support(opt)
 
 
-@partial(jax.jit, static_argnames=("optimizer",))
+@partial(jax.jit, static_argnames=("optimizer", "loss"))
 def train_step(
     params: leg.LEGParams,
     opt_state,
     ts: Array,
     xs: Array,
     optimizer: optax.GradientTransformation,
+    loss: str = "cr",
 ):
     """One full-batch gradient step; returns (params, opt_state, loss)."""
-    loss, grads = jax.value_and_grad(nll_loss)(params, ts, xs)
+    loss_fn = LOSSES[loss]
+    value, grads = jax.value_and_grad(loss_fn)(params, ts, xs)
     updates, opt_state = optimizer.update(
-        grads, opt_state, params, value=loss, grad=grads,
-        value_fn=lambda p: nll_loss(p, ts, xs),
+        grads, opt_state, params, value=value, grad=grads,
+        value_fn=lambda p: loss_fn(p, ts, xs),
     )
     params = optax.apply_updates(params, updates)
-    return params, opt_state, loss
+    return params, opt_state, value
 
 
 @dataclass
@@ -88,15 +110,25 @@ def fit(
     lr: float = 1e-2,
     log_every: int = 100,
     callback: Optional[Callable[[int, float], None]] = None,
+    loss: Optional[str] = None,
 ) -> FitResult:
     """Full-batch training loop (the reference's
-    ``pl.Trainer(max_epochs=...).fit`` equivalent)."""
+    ``pl.Trainer(max_epochs=...).fit`` equivalent).
+
+    ``loss``: "cr" (partitioned block-tridiagonal likelihood, fastest) or
+    "kalman" (parallel-filter likelihood, robust for f32 -- see
+    nll_loss_kalman).  Default: "cr" at float64, "kalman" at float32
+    (where smooth fits make the precision form ill-conditioned).
+    """
+    if loss is None:
+        loss = "cr" if xs.dtype == jnp.float64 else "kalman"
     opt = make_optimizer(optimizer, lr)
     opt_state = opt.init(params)
     losses = []
     for step in range(num_steps):
-        params, opt_state, loss = train_step(params, opt_state, ts, xs, opt)
-        loss_f = float(loss)
+        params, opt_state, loss_v = train_step(params, opt_state, ts, xs,
+                                               opt, loss)
+        loss_f = float(loss_v)
         losses.append(loss_f)
         if callback is not None:
             callback(step, loss_f)

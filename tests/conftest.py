@@ -27,3 +27,17 @@ jax.config.update("jax_enable_x64", True)
 # compile (tens of seconds each on CPU); cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches():
+    """Release compiled executables between test modules.
+
+    The suite compiles hundreds of large unrolled programs at float64;
+    letting them accumulate in one process has crashed the CPU runtime
+    (SIGSEGV late in the run).  The persistent on-disk cache keeps reruns
+    fast despite the in-memory clear."""
+    yield
+    jax.clear_caches()

@@ -40,3 +40,68 @@ def test_log_marginal_likelihood(spacing, n, d):
         # parallel (associative-scan) filter agrees with sequential
         kf_ll_par = float(kalman.filter_parallel(ssm, xs)[2])
         assert abs(kf_ll - kf_ll_par) <= 1e-8 * max(1.0, abs(kf_ll))
+
+
+def _non_normal_params(rank, obs_dim):
+    """Params whose generator G is strongly non-normal.
+
+    The default init (N = I) makes G normal, where several orientation
+    mistakes in the precision assembly are invisible (the left- and
+    right-interval contributions coincide); a random full N breaks the
+    symmetry.  Regression for a real bug caught in f32 training."""
+    params = leg.init_params(jax.random.key(3), rank=rank, obs_dim=obs_dim,
+                             dtype=jnp.float64)
+    n_rand = jax.random.normal(jax.random.key(4), params.n_params.shape,
+                               dtype=jnp.float64)
+    return params._replace(n_params=n_rand)
+
+
+def test_log_marginal_likelihood_non_normal_generator():
+    params = _non_normal_params(4, 2)
+    for spacing in ["regular", "irregular"]:
+        ts, xs = generate_data(60, 2, dtype=jnp.float64, spacing=spacing,
+                               seed=17)
+        leg_ll = float(leg.log_likelihood(params, ts, xs))
+        naive_ll = float(
+            dense.log_marginal_likelihood_from_params(params, ts, xs)
+        )
+        assert abs(leg_ll - naive_ll) <= 1e-6 * max(1.0, abs(naive_ll))
+        if spacing == "regular":
+            ssm = kalman.leg_to_ssm(params, ts)
+            kf_ll = float(kalman.log_likelihood_sequential(ssm, xs))
+            assert abs(leg_ll - kf_ll) <= 1e-6 * max(1.0, abs(kf_ll))
+
+
+def test_peg_precision_inverts_covariance_non_normal():
+    """The assembled precision must invert the dense prior covariance for
+    a non-normal generator, and be positive definite."""
+    from cyclic_gps_tpu.baselines.dense import prior_covariance
+
+    params = _non_normal_params(3, 1)
+    g = leg.g_matrix(params)
+    ts = jnp.asarray(np.cumsum(np.random.RandomState(5).rand(30) + 0.02))
+    diag, off, sld = leg.peg_precision_and_logdet(g, ts)
+    n, r = 30, 3
+    S = np.zeros((n * r, n * r))
+    for i in range(n):
+        S[i*r:(i+1)*r, i*r:(i+1)*r] = np.asarray(diag[i])
+    for i in range(n - 1):
+        S[(i+1)*r:(i+2)*r, i*r:(i+1)*r] = np.asarray(off[i])
+        S[i*r:(i+1)*r, (i+1)*r:(i+2)*r] = np.asarray(off[i]).T
+    C = np.asarray(prior_covariance(ts, g))
+    np.testing.assert_allclose(S @ C, np.eye(n * r), atol=1e-8)
+    assert np.linalg.eigvalsh(S).min() > 0
+    # closed-form log|Sigma^{-1}| matches the assembled matrix
+    np.testing.assert_allclose(float(sld), np.linalg.slogdet(S)[1],
+                               rtol=1e-9)
+
+
+def test_kalman_loss_equals_cr_loss():
+    from cyclic_gps_tpu.train import loop as train_loop
+
+    ts, xs = generate_data(50, 2, dtype=jnp.float64, spacing="regular",
+                           seed=23)
+    params = _non_normal_params(3, 2)
+    a = float(train_loop.nll_loss(params, ts, xs))
+    b = float(train_loop.nll_loss_kalman(params, ts, xs))
+    assert abs(a - b) < 1e-9 * max(1.0, abs(a))
