@@ -329,7 +329,7 @@ def insample_posterior(
     """
     k_diag, k_off = posterior_precision(params, ts)
     mean = pt.solve(k_diag, k_off, compute_v(params, xs))
-    cov_diag, cov_off = cr.inverse_blocks(cr.decompose(k_diag, k_off))
+    cov_diag, cov_off = pt.inverse_blocks(k_diag, k_off)
     return mean, cov_diag, cov_off
 
 

@@ -37,23 +37,38 @@ def init_params(
     key: jax.Array, train_ts: Array, train_xs: Array, num_mixtures: int = 4,
     dtype=jnp.float64,
 ) -> SMKParams:
+    """Empirical-spectrum initialisation (the analogue of gpytorch's
+    ``initialize_from_data_empspect``): mixture frequencies at the
+    strongest periodogram peaks, weights proportional to the spectral
+    mass, bandwidths from the frequency resolution."""
     ts = np.asarray(train_ts, dtype=np.float64)
     xs = np.asarray(train_xs, dtype=np.float64).reshape(-1)
+    n = len(ts)
     gaps = np.diff(np.sort(ts))
-    min_gap = max(gaps[gaps > 0].min(), 1e-6)
-    span = ts.max() - ts.min()
-    nyquist = 0.5 / min_gap
-    rng = np.random.RandomState(0)
+    med_gap = max(np.median(gaps[gaps > 0]), 1e-6)
+    span = ts.max() - ts.min() + med_gap
     q = num_mixtures
-    means = rng.rand(q) * nyquist
-    scales = (rng.rand(q) * 2.0 + 0.5) / span
-    weights = np.full(q, xs.std() ** 2 / q)
+
+    # periodogram on the (approximately regular) index grid
+    y = xs - xs.mean()
+    spec = np.abs(np.fft.rfft(y)) ** 2
+    freqs = np.fft.rfftfreq(n, d=med_gap)
+    spec[0] = 0.0  # drop DC
+    order = np.argsort(spec)[::-1]
+    top = [i for i in order[: 4 * q] if freqs[i] > 0][:q]
+    while len(top) < q:
+        top.append(order[len(top) % max(1, len(order))])
+    means = np.maximum(freqs[np.asarray(top, dtype=int)], 1e-4 / span)
+    mass = spec[np.asarray(top, dtype=int)]
+    mass = mass / max(mass.sum(), 1e-12)
+    weights = np.maximum(mass * xs.var(), 1e-8)
+    scales = np.full(q, (1.0 / span) ** 2)
     return SMKParams(
         jnp.asarray(np.log(weights), dtype),
-        jnp.asarray(np.log(np.maximum(means, 1e-4)), dtype),
-        jnp.asarray(np.log(scales**2), dtype),
+        jnp.asarray(np.log(means), dtype),
+        jnp.asarray(np.log(scales), dtype),
         jnp.asarray(xs.mean(), dtype),
-        jnp.asarray(np.log(0.1 * xs.std() ** 2 + 1e-6), dtype),
+        jnp.asarray(np.log(0.1 * xs.var() + 1e-6), dtype),
     )
 
 

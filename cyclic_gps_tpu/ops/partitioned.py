@@ -312,3 +312,124 @@ def solve_and_logdet(
     """(J^{-1} y, log|J|) in a single forward sweep + back-substitution --
     the headline benchmark op (BASELINE.md)."""
     return _solve_impl(diag, off, y, s, jitter)
+
+
+# ---------------------------------------------------------------------------
+# Selected inversion: diagonal and lag-1 off-diagonal blocks of J^{-1}.
+# ---------------------------------------------------------------------------
+
+
+def _inverse_impl(diag, off, s, jitter):
+    """Recursive partitioned selected inversion.
+
+    With J = [[A, Bc], [Bc^T, S]] (chunk interiors / boundaries) and
+    Sigma_BB the selected inverse of the reduced boundary system:
+
+      Sigma_II = A^{-1} + U Sigma_BB U^T,    U = A^{-1} Bc = L_A^{-T} W,
+      Sigma_IB = -U Sigma_BB,
+
+    where W = [W0, W1] are the sweep's coupling solves.  A^{-1}'s
+    tridiagonal blocks come from the Takahashi recursion along each chain
+    (backward scan); U by back-substitution of W.  One forward sweep +
+    one backward scan per recursion level; O(N d^3) total.
+    """
+    n, d, _ = diag.shape
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        dec = cr.decompose(diag, off, jitter=jitter)
+        return cr.inverse_blocks(dec)
+
+    zeros_y = jnp.zeros((n, d), dtype=diag.dtype)
+    R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, zeros_y, s)
+    state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                        collect=True)
+    red_diag, red_off, _ = _reduced_system(R_cm, y_cm, state, w1)
+
+    bb_diag, bb_off = _inverse_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1], None, jitter
+    )
+    p00 = sb.to_em(bb_diag)  # Sigma_{b_c, b_c}                [d, d, C]
+    # Sigma_{b_{c+1}, b_c}: pad the last chunk with zeros (no b_C)
+    p10 = jnp.concatenate(
+        [sb.to_em(bb_off), jnp.zeros((d, d, 1), dtype=diag.dtype)], axis=-1
+    )
+    p11 = sb.shift_up(p00)  # Sigma_{b_{c+1}, b_{c+1}} (pad irrelevant)
+    p01 = sb.transpose(p10)
+
+    ds, invds, cs_, w0s, _ = stacked  # steps j = 1..s-1
+
+    def sigma_bb_ut(u0, u1):
+        """(Sigma_BB U^T) rows: A0 = row b_c, A1 = row b_{c+1}."""
+        a0 = sb.matmul(p00, u0, tb=True) + sb.matmul(p01, u1, tb=True)
+        a1 = sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+        return a0, a1
+
+    # init at j = s-1
+    d_last, invd_last, w0_last = ds[-1], invds[-1], w0s[-1]
+    di_last = sb.tri_lower_inverse(d_last, invd_last)
+    phi = sb.matmul(di_last, di_last, ta=True)
+    u0 = sb.solve_lower_t(d_last, invd_last, w0_last)
+    u1 = sb.solve_lower_t(d_last, invd_last, w1)
+    a0, a1 = sigma_bb_ut(u0, u1)
+    diag_last = phi + sb.matmul(u0, a0) + sb.matmul(u1, a1)
+    # right-edge off block: Sigma[(c+1)s, (c+1)s-1] = -(P10 u0^T + P11 u1^T)
+    off_edge_right = -(
+        sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+    )
+
+    def back(carry, inp):
+        phi_n, u0_n, u1_n, a0_n, a1_n = carry
+        d_j, invd_j, c_j, w0_j = inp
+        di = sb.tri_lower_inverse(d_j, invd_j)
+        cd = sb.matmul(c_j, di)
+        phi_off = -sb.matmul(phi_n, cd)  # Phi_{j+1, j}
+        phi_j = sb.matmul(di, di, ta=True) + sb.matmul(
+            sb.matmul(cd, phi_n, ta=True), cd
+        )
+        u0_j = sb.solve_lower_t(
+            d_j, invd_j, w0_j - sb.matmul(c_j, u0_n, ta=True)
+        )
+        u1_j = -sb.solve_lower_t(d_j, invd_j, sb.matmul(c_j, u1_n, ta=True))
+        a0_j, a1_j = sigma_bb_ut(u0_j, u1_j)
+        diag_j = phi_j + sb.matmul(u0_j, a0_j) + sb.matmul(u1_j, a1_j)
+        # off pair (j, j+1): Sigma[cs+j+1, cs+j]
+        off_j = phi_off + sb.matmul(u0_n, a0_j) + sb.matmul(u1_n, a1_j)
+        return (phi_j, u0_j, u1_j, a0_j, a1_j), (diag_j, off_j)
+
+    if s > 2:
+        inps = jax.tree.map(lambda a: a[:-1], (ds, invds, cs_, w0s))
+        (phi, u0, u1, a0, a1), (diag_mid, off_mid) = jax.lax.scan(
+            back, (phi, u0, u1, a0, a1), inps, reverse=True
+        )
+        # stack interior outputs j = 1..s-1
+        diag_int = jnp.concatenate([diag_mid, diag_last[None]], axis=0)
+        off_int = off_mid  # pairs (j, j+1) for j = 1..s-2
+    else:
+        diag_int = diag_last[None]
+        off_int = jnp.zeros((0, d, d, R_cm.shape[-1]), dtype=diag.dtype)
+
+    # left-edge off block: Sigma[cs+1, cs] = -(u0_1 P00 + u1_1 P10)
+    off_edge_left = -(sb.matmul(u0, p00) + sb.matmul(u1, p10))
+
+    # assemble chunk-major [s, d, d, C]
+    diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
+    off_cm = jnp.concatenate(
+        [off_edge_left[None], off_int, off_edge_right[None]], axis=0
+    )
+    diag_nat = jnp.transpose(diag_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    off_nat = jnp.transpose(off_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    return diag_nat[:n], off_nat[: n - 1]
+
+
+@partial(jax.jit, static_argnames=("s", "jitter"))
+def inverse_blocks(
+    diag: Array,
+    off: Array,
+    s: Optional[int] = None,
+    jitter: float = 0.0,
+) -> Tuple[Array, Array]:
+    """Diagonal and lower off-diagonal blocks of J^{-1} (selected
+    inversion) via recursive partitioned elimination.  Matches
+    cr.inverse_blocks (tests/test_partitioned.py); O(1) program size and
+    one streaming pass per recursion level."""
+    return _inverse_impl(diag, off, s, jitter)

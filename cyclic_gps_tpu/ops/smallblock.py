@@ -177,6 +177,20 @@ def solve_lower_vec(L: Array, inv_diag: Array, y: Array) -> Array:
     return jnp.stack(comps, axis=0)
 
 
+def solve_lower_t(L: Array, inv_diag: Array, y: Array) -> Array:
+    """Per-block solve ``L^T X = Y`` (back substitution), matrix RHS
+    [d, e, B]."""
+    d = L.shape[0]
+    res = y
+    rows = [None] * d
+    for i in reversed(range(d)):
+        xi = res[i] * inv_diag[i][None, :]
+        rows[i] = xi
+        if i > 0:
+            res = res - L[i, :, None, :] * xi[None, :, :]
+    return jnp.stack(rows, axis=0)
+
+
 def solve_lower_t_vec(L: Array, inv_diag: Array, y: Array) -> Array:
     """Per-block solve ``L^T x = y`` (back substitution), vector RHS [d, B]."""
     d = L.shape[0]

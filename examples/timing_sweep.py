@@ -30,7 +30,7 @@ from cyclic_gps_tpu.ops import partitioned as ptn
 
 RANK = 2
 OBS_DIM = 2
-SIZES = [10**k for k in range(1, 8)]
+SIZES = [10**2, 10**4, 10**6, 10**7]
 DTYPE = jnp.float32
 
 
@@ -69,7 +69,7 @@ def main():
         results["pt_loglik"] = timed(
             lambda: leg.log_likelihood(params, ts, xs)
         )
-        if n <= 10**6:
+        if n <= 10**4:
             results["kf_seq_smoother"] = timed(
                 lambda: kalman.smooth_sequential(ssm, xs)
             )

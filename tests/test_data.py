@@ -1,0 +1,72 @@
+"""Data layer: loaders, thresholding, synthetic generation."""
+
+import textwrap
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cyclic_gps_tpu.data import loaders, synthetic
+
+
+def test_generate_data_shapes_and_spacing():
+    ts, xs = synthetic.generate_data(50, 3, dtype=jnp.float64,
+                                     spacing="irregular", seed=1)
+    assert ts.shape == (50,) and xs.shape == (50, 3)
+    gaps = np.diff(np.asarray(ts))
+    assert np.all(gaps >= 0.01)
+    ts2, _ = synthetic.generate_data(50, 1, dtype=jnp.float64,
+                                     spacing="regular")
+    np.testing.assert_allclose(np.diff(np.asarray(ts2)), 1.0)
+
+
+def test_threshold_timesteps():
+    ts = jnp.asarray([0.0, 1.0, 1.0 + 1e-12, 2.0, 2.0, 3.0])
+    out, idxs = loaders.threshold_timesteps(ts)
+    np.testing.assert_allclose(np.asarray(out), [0.0, 1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(idxs), [0, 1, 1, 2, 2, 3])
+    with pytest.raises(ValueError):
+        loaders.threshold_timesteps(jnp.asarray([1.0, 0.5]))
+
+
+def test_percentage_diff():
+    a = np.asarray([1.0, 2.0])
+    b = np.asarray([1.1, 1.8])
+    assert abs(loaders.percentage_diff(a, b) - 10.0) < 1e-9
+
+
+def test_load_co2(tmp_path):
+    csv = tmp_path / "co2.csv"
+    header = "year,month,decimal,average,interp,trend,c1,c2\n"
+    rows = [
+        f"{1958 + i // 12},{i % 12 + 1},{1958 + i / 12.0},{315 + 0.1 * i},"
+        f"{315 + 0.1 * i},{315 + 0.1 * i},1,2"
+        for i in range(600)
+    ]
+    csv.write_text("# comment\n" + header + "\n".join(rows) + "\n")
+    series = loaders.load_co2(str(csv))
+    assert series.all_ts.shape == (600,)
+    assert series.all_xs.shape == (600, 1)
+    # standardized values
+    assert abs(float(jnp.mean(series.all_xs))) < 1e-8
+    # train split excludes [262:502) and the last 28
+    assert series.train_ts.shape[0] == 600 - (502 - 262) - 28
+    # time scaled to ~1 unit per sample
+    gaps = np.diff(np.asarray(series.all_ts))
+    np.testing.assert_allclose(gaps, 1.0, atol=1e-6)
+
+
+def test_load_bart(tmp_path):
+    csv = tmp_path / "bart.csv"
+    rng = np.random.RandomState(0)
+    lines = []
+    for day in ["2011-01-01", "2011-01-02", "2011-02-01"]:
+        for hr in range(0, 24, 3):
+            lines.append(f"{day},{hr},POWL,EMBR,{rng.randint(1, 50)}")
+            lines.append(f"{day},{hr},EMBR,POWL,{rng.randint(1, 50)}")
+    csv.write_text("\n".join(lines) + "\n")
+    series = loaders.load_bart(str(csv))
+    assert series.all_ts.shape == (31 * 24,)
+    assert series.all_xs.shape == (31 * 24, 1)
+    assert series.train_ts.shape[0] == 31 * 24 // 2
+    assert abs(float(jnp.mean(series.all_xs))) < 1e-8

@@ -61,6 +61,16 @@ def test_dense_parity():
     assert np.allclose(np.asarray(x).ravel(), np.linalg.solve(J, vv.ravel()))
 
 
+@pytest.mark.parametrize("n,d", [(16, 1), (33, 3), (257, 2), (1024, 3)])
+def test_inverse_blocks_matches_cr(n, d):
+    diag, off, _ = well_conditioned(n, d, seed=n + d)
+    s = 4 if n < 257 else None
+    id0, io0 = cr.inverse_blocks(cr.decompose(diag, off))
+    id1, io1 = pt.inverse_blocks(diag, off, s=s)
+    np.testing.assert_allclose(np.asarray(id1), np.asarray(id0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(io1), np.asarray(io0), atol=1e-12)
+
+
 def test_gradients_match_cr_engine():
     """Autodiff through the scan-based sweep == autodiff through CR."""
     n, d = 70, 2
