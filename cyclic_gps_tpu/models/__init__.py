@@ -1,3 +1,4 @@
-from cyclic_gps_tpu.models import gaussians, leg
+from cyclic_gps_tpu.models import gaussians, leg, smk
+from cyclic_gps_tpu.models.family import LEGFamily
 
-__all__ = ["gaussians", "leg"]
+__all__ = ["gaussians", "leg", "smk", "LEGFamily"]

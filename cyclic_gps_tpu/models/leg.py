@@ -40,6 +40,7 @@ from cyclic_gps_tpu.models.gaussians import (
 )
 from cyclic_gps_tpu.ops import cyclic_reduction as cr
 from cyclic_gps_tpu.ops import partitioned as pt
+from cyclic_gps_tpu.ops import smallblock as sb
 
 Array = jnp.ndarray
 
@@ -190,18 +191,48 @@ def transition_and_noise(g: Array, diffs: Array) -> Tuple[Array, Array]:
     which is accurate to the working precision of its entries.
     Returns (e [T, r, r], q [T, r, r]).
     """
-    r = g.shape[-1]
-    a = -0.5 * g
-    s = 0.5 * (g + g.T)
-    top = jnp.concatenate([a, s], axis=-1)
-    bot = jnp.concatenate([jnp.zeros_like(a), -a.T], axis=-1)
-    m = jnp.concatenate([top, bot], axis=-2)  # [2r, 2r]
-    big = expm_batch(diffs[:, None, None] * m[None])
-    e = big[:, :r, :r]
-    p = big[:, :r, r:]
-    q = p @ jnp.swapaxes(e, -1, -2)
-    # exact symmetry (p e^T is symmetric up to roundoff)
-    q = 0.5 * (q + jnp.swapaxes(q, -1, -2))
+    e_em, q_em = transition_and_noise_em(g, diffs)
+    return sb.from_em(e_em), sb.from_em(q_em)
+
+
+@_highest_precision
+def transition_and_noise_em(g: Array, diffs: Array) -> Tuple[Array, Array]:
+    """Element-major `transition_and_noise`: returns (e, q) as [r, r, T].
+
+    The whole computation (augmented expm + block extraction + P e^T)
+    runs in element-major layout with the gap axis on the lanes --
+    [T, d, d]-shaped temporaries would be tile-padded ~32x on TPU and a
+    vmapped expm at T = 1e6 exhausts HBM (observed).
+
+    ``g`` may carry a leading stack axis [K, r, r] with ``diffs`` of
+    length K*T (gap i uses generator i // T): used to fuse the G and G^T
+    Van Loan calls into one batched expm.
+    """
+    from cyclic_gps_tpu.ops.expm_em import expm_em
+
+    gs = g if g.ndim == 3 else g[None]
+    k = gs.shape[0]
+    r = gs.shape[-1]
+    t = diffs.shape[0] // k
+
+    def augmented(gg):
+        a = -0.5 * gg
+        s = 0.5 * (gg + gg.T)
+        top = jnp.concatenate([a, s], axis=-1)
+        bot = jnp.concatenate([jnp.zeros_like(a), -a.T], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)  # [2r, 2r]
+
+    ms = jnp.stack([augmented(gs[i]) for i in range(k)], axis=0)
+    # per-gap scaled matrices, em layout [2r, 2r, K*T]
+    m_em = (
+        jnp.transpose(ms, (1, 2, 0))[:, :, :, None]
+        * diffs.reshape(k, t)[None, None]
+    ).reshape(2 * r, 2 * r, k * t)
+    big = expm_em(m_em)
+    e = big[:r, :r]
+    p = big[:r, r:]
+    q = sb.matmul(p, e, tb=True)
+    q = 0.5 * (q + sb.transpose(q))
     return e, q
 
 
@@ -236,28 +267,45 @@ def peg_precision_and_logdet(g: Array, ts: Array):
     factorization in the model -- with an exact, cheap, unconditionally
     stable formula.
     """
+    diag_em, off_em, sig_inv_logdet = _peg_precision_em(g, ts)
+    return sb.from_em(diag_em), sb.from_em(off_em), sig_inv_logdet
+
+
+@_highest_precision
+def _peg_precision_em(g: Array, ts: Array):
+    """Element-major precision assembly: (diag [r, r, N],
+    off [r, r, N-1], log|Sigma^{-1}|).  All solves are Cholesky-based
+    small-block sweeps with the gap axis on the lanes."""
     rank = g.shape[0]
     diffs = ts[1:] - ts[:-1]
-    e, q1 = transition_and_noise(g, diffs)
-    _, q2 = transition_and_noise(g.T, diffs)
-    e_t = jnp.swapaxes(e, -1, -2)
-    eye = jnp.eye(rank, dtype=g.dtype)
+    # both Van Loan exponentials (for G and G^T) in ONE batched expm call
+    t = diffs.shape[0]
+    both = transition_and_noise_em(
+        jnp.stack([g, g.T]), jnp.concatenate([diffs, diffs])
+    )
+    e = both[0][:, :, :t]
+    q1 = both[1][:, :, :t]
+    q2 = both[1][:, :, t:]
+    e_t = sb.transpose(e)
 
-    q1_inv_e = jnp.linalg.solve(q1, e)
-    q2_inv_et = jnp.linalg.solve(q2, e_t)
+    l1, inv1 = sb.cholesky(q1)
+    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e))
+    l2, inv2 = sb.cholesky(q2)
+    q2_inv_et = sb.solve_lower_t(l2, inv2, sb.solve_lower(l2, inv2, e_t))
 
     off = -q1_inv_e
-    d_left = e @ q2_inv_et  # left-interval term: Q1^{-1} - I (Woodbury)
-    d_right = e_t @ q1_inv_e  # right-interval term: e^T Q1^{-1} e
+    d_left = sb.matmul(e, q2_inv_et)  # Q1^{-1} - I by Woodbury
+    d_right = sb.matmul(e_t, q1_inv_e)  # e^T Q1^{-1} e
 
     # diag_i = I + d_left[i-1] + d_right[i]  (gap g connects points g, g+1)
-    zero = jnp.zeros((1, rank, rank), dtype=g.dtype)
+    zero = jnp.zeros((rank, rank, 1), dtype=g.dtype)
+    eye = jnp.eye(rank, dtype=g.dtype)[:, :, None]
     diag = (
         eye
-        + jnp.concatenate([zero, d_left], axis=0)
-        + jnp.concatenate([d_right, zero], axis=0)
+        + jnp.concatenate([zero, d_left], axis=-1)
+        + jnp.concatenate([d_right, zero], axis=-1)
     )
-    logdet_prior = jnp.sum(jnp.linalg.slogdet(q1)[1])
+    logdet_prior = 2.0 * sb.chol_log_diag_sum(l1)
     return diag, off, -logdet_prior
 
 

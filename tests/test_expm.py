@@ -1,0 +1,50 @@
+"""Element-major batched matrix exponential tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+
+from cyclic_gps_tpu.ops import smallblock as sb
+from cyclic_gps_tpu.ops.expm_em import expm_em
+
+
+def _batch(scales, d=6, seed=0, lean=-0.3):
+    rng = np.random.RandomState(seed)
+    mats = []
+    for scale in scales:
+        for _ in range(6):
+            m = rng.randn(d, d) * scale / d + np.eye(d) * scale * lean
+            mats.append(m)
+    return np.stack(mats)
+
+
+def test_matches_scipy_across_norms():
+    mats = _batch([1e-6, 1e-3, 0.3, 1.0, 7.0, 50.0])
+    ref = np.stack([sla.expm(m) for m in mats])
+    out = np.asarray(sb.from_em(expm_em(sb.to_em(jnp.asarray(mats)))))
+    denom = np.maximum(np.abs(ref).max(axis=(1, 2), keepdims=True), 1e-12)
+    assert (np.abs(out - ref) / denom).max() < 1e-12
+
+
+def test_custom_vjp_matches_jax_expm_grad():
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(3, 3, 5) * 1.5)
+    w = jnp.asarray(rng.randn(3, 3, 5))
+
+    g = jax.grad(lambda m: jnp.sum(expm_em(m) * w))(a)
+
+    def ref(m):
+        outs = [jax.scipy.linalg.expm(m[:, :, k]) for k in range(5)]
+        return jnp.sum(jnp.stack(outs, axis=-1) * w)
+
+    g_ref = jax.grad(ref)(a)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-12)
+
+
+def test_identity_and_zero():
+    z = jnp.zeros((4, 4, 3))
+    np.testing.assert_allclose(
+        np.asarray(sb.from_em(expm_em(z))), np.broadcast_to(np.eye(4), (3, 4, 4)),
+        atol=1e-15,
+    )

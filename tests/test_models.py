@@ -203,3 +203,37 @@ def test_sample_from_prior():
     z = np.asarray(zs).reshape(-1, 2)
     emp = z.T @ z / z.shape[0]
     np.testing.assert_allclose(emp, np.eye(2), atol=0.05)
+
+
+def test_leg_family_facade(tmp_path):
+    """The class facade mirrors the reference's API surface."""
+    from cyclic_gps_tpu.models import LEGFamily
+
+    model = LEGFamily(rank=3, obs_dim=2, data_type=jnp.float64, lr=1e-2)
+    assert model.parameter_count == 18
+    assert model.N.shape == (3, 3)
+    assert model.calc_Lambda_Lambda_T().shape == (2, 2)
+
+    ts, xs = generate_data(40, 2, dtype=jnp.float64, spacing="irregular",
+                           seed=41)
+    diag, off = model.compute_PEG_precision(ts)
+    assert diag.shape == (40, 3, 3) and off.shape == (39, 3, 3)
+
+    ll0 = float(model.log_likelihood(ts, xs))
+    losses = model.fit(ts, xs, num_steps=10, log_every=0)
+    assert len(losses) == 10 and np.isfinite(losses).all()
+    assert float(model.log_likelihood(ts, xs)) > ll0
+
+    mean, cov_d, cov_o = model.compute_insample_posterior(ts, xs)
+    assert mean.shape == (40, 3)
+    pm, pc = model.make_predictions(ts, xs, ts[:5] + 0.25,
+                                    include_obs_noise=True)
+    assert pm.shape == (5, 2) and pc.shape == (5, 2, 2)
+    zs, xsamp = model.sample_from_prior(ts, num=2)
+    assert xsamp.shape == (2, 40, 2)
+
+    path = str(tmp_path / "fam.npz")
+    model.save(path)
+    model2 = LEGFamily(rank=3, obs_dim=2, data_type=jnp.float64).load(path)
+    np.testing.assert_allclose(np.asarray(model2.params.b),
+                               np.asarray(model.params.b))

@@ -84,3 +84,48 @@ def test_data_parallel_training():
     # sharded loss == single-device loss for the same params
     loss_single = float(data_parallel.batch_nll(params, ts_batch, xs_batch))
     np.testing.assert_allclose(losses[0], loss_single, rtol=1e-9)
+
+
+def test_gspmd_partitioned_engine():
+    """The partitioned engine runs correctly under plain jit with
+    sequence-sharded inputs -- XLA GSPMD inserts the collectives."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from cyclic_gps_tpu.ops import partitioned as ptn
+
+    n, d = 2048, 3
+    rng = np.random.RandomState(0)
+    q = rng.randn(n, d, d)
+    diag = jnp.asarray(q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d))
+    off = jnp.asarray(rng.randn(n - 1, d, d) / d)
+    v = jnp.asarray(rng.randn(n, d))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("seq",))
+    diag_s = jax.device_put(diag, NamedSharding(mesh, P("seq", None, None)))
+    v_s = jax.device_put(v, NamedSharding(mesh, P("seq", None)))
+
+    mh_s, ld_s = jax.jit(ptn.mahal_and_logdet)(diag_s, off, v_s)
+    mh, ld = ptn.mahal_and_logdet(diag, off, v)
+    np.testing.assert_allclose(float(mh_s), float(mh), rtol=1e-12)
+    np.testing.assert_allclose(float(ld_s), float(ld), rtol=1e-12)
+
+    x_s = jax.jit(ptn.solve)(diag_s, off, v_s)
+    np.testing.assert_allclose(
+        np.asarray(x_s), np.asarray(ptn.solve(diag, off, v)), atol=1e-12
+    )
+
+
+def test_gspmd_log_likelihood():
+    """Full LEG likelihood under jit with a sequence-sharded series."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n, d, rank = 512, 2, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
+                           seed=77)
+    params = leg.init_params(jax.random.key(0), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("seq",))
+    ts_s = jax.device_put(ts, NamedSharding(mesh, P("seq")))
+    xs_s = jax.device_put(xs, NamedSharding(mesh, P("seq", None)))
+    ll_s = float(jax.jit(leg.log_likelihood)(params, ts_s, xs_s))
+    ll = float(leg.log_likelihood(params, ts, xs))
+    np.testing.assert_allclose(ll_s, ll, rtol=1e-12)
