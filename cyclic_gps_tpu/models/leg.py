@@ -309,9 +309,46 @@ def _peg_precision_em(g: Array, ts: Array):
     return diag, off, -logdet_prior
 
 
-@jax.jit
 @_highest_precision
-def log_likelihood(params: LEGParams, ts: Array, xs: Array) -> Array:
+def _peg_precision_em_regular(g: Array, dt: Array, num_obs: int):
+    """Element-major precision for a REGULAR grid with gap ``dt``: one
+    matrix exponential instead of N-1 (the dominant cost of the general
+    path at large N), then broadcast blocks."""
+    rank = g.shape[0]
+    t = num_obs - 1
+    both = transition_and_noise_em(
+        jnp.stack([g, g.T]), jnp.full((2,), dt, dtype=g.dtype)
+    )
+    e1 = both[0][:, :, :1]
+    q1 = both[1][:, :, :1]
+    q2 = both[1][:, :, 1:]
+    e_t = sb.transpose(e1)
+
+    l1, inv1 = sb.cholesky(q1)
+    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e1))
+    l2, inv2 = sb.cholesky(q2)
+    q2_inv_et = sb.solve_lower_t(l2, inv2, sb.solve_lower(l2, inv2, e_t))
+
+    off1 = -q1_inv_e
+    d_left = sb.matmul(e1, q2_inv_et)
+    d_right = sb.matmul(e_t, q1_inv_e)
+
+    zero = jnp.zeros((rank, rank, 1), dtype=g.dtype)
+    eye = jnp.eye(rank, dtype=g.dtype)[:, :, None]
+    mid = jnp.broadcast_to(
+        eye + d_left + d_right, (rank, rank, max(num_obs - 2, 0))
+    )
+    diag = jnp.concatenate([eye + d_right, mid, eye + d_left], axis=-1)
+    off = jnp.broadcast_to(off1, (rank, rank, t))
+    logdet_prior = 2.0 * t * sb.chol_log_diag_sum(l1)
+    return diag, off, -logdet_prior
+
+
+@partial(jax.jit, static_argnames=("regular",))
+@_highest_precision
+def log_likelihood(
+    params: LEGParams, ts: Array, xs: Array, regular: bool = False
+) -> Array:
     """Marginal log-likelihood log p(x | ts, params) in O(N) via CR.
 
     Identity (reference models.py:300-372):
@@ -319,6 +356,9 @@ def log_likelihood(params: LEGParams, ts: Array, xs: Array) -> Array:
                         + N log|2 pi LLT| + log|K| - log|Sigma^{-1}| ]
       with Sigma^{-1} the PEG precision, K = Sigma^{-1} + I_N (x) B^T LLT^{-1} B,
       v = (LLT^{-1} x) B.
+
+    ``regular=True`` asserts the grid has a constant gap (ts[1] - ts[0]),
+    replacing N-1 matrix exponentials with one -- a large-N fast path.
     """
     llt = lambda_lambda_t(params)
     g = g_matrix(params)
@@ -332,9 +372,15 @@ def log_likelihood(params: LEGParams, ts: Array, xs: Array) -> Array:
 
     v = x_llt_inv @ params.b  # [N, rank]
 
-    sig_inv_diag, sig_inv_off, sig_inv_logdet = peg_precision_and_logdet(
-        g, ts
-    )
+    if regular:
+        d_em, o_em, sig_inv_logdet = _peg_precision_em_regular(
+            g, ts[1] - ts[0], num_obs
+        )
+        sig_inv_diag, sig_inv_off = sb.from_em(d_em), sb.from_em(o_em)
+    else:
+        sig_inv_diag, sig_inv_off, sig_inv_logdet = peg_precision_and_logdet(
+            g, ts
+        )
 
     llt_inv_b = jnp.linalg.solve(llt, params.b)
     bt_llt_inv_b = params.b.T @ llt_inv_b
