@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from cyclic_gps_tpu.models import leg
+from cyclic_gps_tpu.ops import smallblock as sb
+from cyclic_gps_tpu.ops.expm_em import lu_solve
 
 Array = jnp.ndarray
 
@@ -170,67 +172,33 @@ def log_likelihood_sequential(ssm: SSM, xs: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _filter_element(ssm: SSM, a, q, y, first, m0, p0):
-    """Per-step element (A, b, C, eta, J) of the parallel filter."""
-    rank = a.shape[0]
-    eye = jnp.eye(rank, dtype=a.dtype)
-
-    def generic():
-        s = ssm.h @ q @ ssm.h.T + ssm.r
-        k = jnp.linalg.solve(s.T, (q @ ssm.h.T).T).T
-        a_el = (eye - k @ ssm.h) @ a
-        b_el = k @ y
-        c_el = (eye - k @ ssm.h) @ q
-        hts_inv = jnp.linalg.solve(s, ssm.h).T  # H^T S^{-1}
-        eta = a.T @ hts_inv @ y
-        j = a.T @ hts_inv @ ssm.h @ a
-        return a_el, b_el, c_el, eta, j
-
-    def initial():
-        mp = a @ m0
-        pp = a @ p0 @ a.T + q
-        s = ssm.h @ pp @ ssm.h.T + ssm.r
-        k = jnp.linalg.solve(s.T, (pp @ ssm.h.T).T).T
-        a_el = jnp.zeros_like(a)
-        b_el = mp + k @ (y - ssm.h @ mp)
-        c_el = (eye - k @ ssm.h) @ pp
-        eta = jnp.zeros(rank, dtype=a.dtype)
-        j = jnp.zeros_like(a)
-        return a_el, b_el, c_el, eta, j
-
-    gen = generic()
-    ini = initial()
-    return tuple(jnp.where(first, i, g) for i, g in zip(ini, gen))
+def _solve_spd(m_em, rhs_em):
+    """Per-block SPD solve M X = RHS in element-major layout."""
+    l, inv = sb.cholesky(m_em)
+    return sb.solve_lower_t(l, inv, sb.solve_lower(l, inv, rhs_em))
 
 
-def _filter_combine(elem_i, elem_j):
-    """Associative composition of filtering elements (i precedes j)."""
-    a_i, b_i, c_i, eta_i, j_i = elem_i
-    a_j, b_j, c_j, eta_j, j_j = elem_j
-    rank = a_i.shape[-1]
-    eye = jnp.eye(rank, dtype=a_i.dtype)
-    # (I + C_i J_j)^{-1}
-    lhs = eye + c_i @ j_j
-    # A_j lhs^{-1} = (lhs^{-T} A_j^T)^T
-    a_j_lhs_inv = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(lhs, -1, -2), jnp.swapaxes(a_j, -1, -2)),
-        -1,
-        -2,
-    )
-    a_new = a_j_lhs_inv @ a_i
-    b_new = (a_j_lhs_inv @ (b_i[..., None] + c_i @ eta_j[..., None]))[
-        ..., 0
-    ] + b_j
-    c_new = a_j_lhs_inv @ c_i @ jnp.swapaxes(a_j, -1, -2) + c_j
-    # (I + J_j C_i)^{-1}
-    lhs2 = eye + j_j @ c_i
-    a_i_t_lhs2_inv = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(lhs2, -1, -2), a_i), -1, -2
-    )
-    eta_new = (
-        a_i_t_lhs2_inv @ (eta_j - (j_j @ b_i[..., None])[..., 0])[..., None]
-    )[..., 0] + eta_i
-    j_new = a_i_t_lhs2_inv @ j_j @ a_i + j_i
+def _solve_spd_vec(m_em, rhs_em):
+    l, inv = sb.cholesky(m_em)
+    return sb.solve_lower_t_vec(l, inv, sb.solve_lower_vec(l, inv, rhs_em))
+
+
+def _filter_combine_em(ei, ej):
+    """Associative composition of filtering elements, element-major
+    ([.., T] leaves; Sarkka & Garcia-Fernandez 2021, eqs. 10-11)."""
+    a_i, b_i, c_i, eta_i, j_i = ei  # b, eta carried as [r, 1, T]
+    a_j, b_j, c_j, eta_j, j_j = ej
+    d = a_i.shape[0]
+    eye = jnp.eye(d, dtype=a_i.dtype)[:, :, None]
+    lhs = eye + sb.matmul(c_i, j_j)
+    ajli = sb.transpose(lu_solve(sb.transpose(lhs), sb.transpose(a_j)))
+    a_new = sb.matmul(ajli, a_i)
+    b_new = sb.matmul(ajli, b_i + sb.matmul(c_i, eta_j)) + b_j
+    c_new = sb.matmul(sb.matmul(ajli, c_i), a_j, tb=True) + c_j
+    lhs2 = eye + sb.matmul(j_j, c_i)
+    atli2 = sb.transpose(lu_solve(sb.transpose(lhs2), a_i))
+    eta_new = sb.matmul(atli2, eta_j - sb.matmul(j_j, b_i)) + eta_i
+    j_new = sb.matmul(sb.matmul(atli2, j_j), a_i) + j_i
     return a_new, b_new, c_new, eta_new, j_new
 
 
@@ -239,57 +207,80 @@ def _filter_combine(elem_i, elem_j):
 def filter_parallel(ssm: SSM, xs: Array) -> Tuple[Array, Array, Array]:
     """O(log T)-depth Kalman filter via jax.lax.associative_scan.
 
-    Returns (filtered means, filtered covs, total log-likelihood); the
-    likelihood is assembled post-scan from one-step-ahead predictives.
+    Internals run element-major ([r, r, T] leaves, scan axis = -1): TPU
+    tile-pads [T, r, r] matmul operands ~32x, which exhausts HBM at large
+    T.  Returns (filtered means [T, r], covs [T, r, r], log-likelihood);
+    the likelihood is assembled post-scan from one-step-ahead predictives
+    (innovation covariances bounded below by R -- the numerically robust
+    likelihood form).
     """
     t = xs.shape[0]
     rank = ssm.h.shape[1]
-    m0 = jnp.zeros(rank, dtype=ssm.a.dtype)
-    p0 = jnp.eye(rank, dtype=ssm.a.dtype)
-    first = jnp.arange(t) == 0
+    obs = ssm.h.shape[0]
+    dtype = ssm.a.dtype
 
-    elems = jax.vmap(
-        lambda a, q, y, f: _filter_element(ssm, a, q, y, f, m0, p0)
-    )(ssm.a, ssm.q, xs, first)
-    scanned = jax.lax.associative_scan(_filter_combine, elems)
-    ms, ps = scanned[1], scanned[2]
+    a = sb.to_em(ssm.a)
+    q = sb.to_em(ssm.q)
+    y = sb.vec_to_em(xs)  # [o, T]
+    h = jnp.broadcast_to(ssm.h[:, :, None], (obs, rank, t))
+    r_em = jnp.broadcast_to(ssm.r[:, :, None], (obs, obs, t))
+    eye_r = jnp.eye(rank, dtype=dtype)[:, :, None]
+    first = (jnp.arange(t) == 0).astype(dtype)[None, None, :]
 
-    # log-likelihood from one-step-ahead predictive N(y_k; H m_k^-, S_k)
-    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
-    p_prev = jnp.concatenate([p0[None], ps[:-1]], axis=0)
-    mp = (ssm.a @ m_prev[..., None])[..., 0]
-    pp = ssm.a @ p_prev @ jnp.swapaxes(ssm.a, -1, -2) + ssm.q
-    s = ssm.h[None] @ pp @ ssm.h.T[None] + ssm.r[None]
-    innov = xs - (ssm.h[None] @ mp[..., None])[..., 0]
-    lls = jax.vmap(_mvn_logpdf)(innov, s)
-    return ms, ps, jnp.sum(lls)
+    # prior covariance entering each step: Q generically; A P0 A^T + Q at
+    # the first step (m0 = 0, P0 = I; m0 = 0 collapses the initial mean
+    # terms to the generic k @ y form)
+    pp = q + first * sb.matmul(a, a, tb=True)
+    s = sb.matmul(sb.matmul(h, pp), h, tb=True) + r_em  # [o, o, T]
+    hp = sb.matmul(h, pp)  # [o, r, T]
+    k = sb.transpose(_solve_spd(s, hp))  # pp H^T S^{-1}  [r, o, T]
+    ikh = eye_r - sb.matmul(k, h)
+    ha = sb.matmul(h, a)  # [o, r, T]
+    s_inv_y = _solve_spd_vec(s, y)  # [o, T]
+
+    not_first = 1.0 - first
+    a_el = not_first * sb.matmul(ikh, a)
+    b_el = sb.matvec(k, y)
+    c_el = sb.matmul(ikh, pp)
+    eta = not_first[0] * sb.matvec(ha, s_inv_y, ta=True)  # [r, T]
+    j_el = not_first * sb.matmul(ha, _solve_spd(s, ha), ta=True)
+
+    scanned = jax.lax.associative_scan(
+        _filter_combine_em,
+        (a_el, b_el[:, None, :], c_el, eta[:, None, :], j_el),
+        axis=2,
+    )
+    ms, ps = scanned[1][:, 0, :], scanned[2]  # [r, T], [r, r, T]
+
+    # log-likelihood from one-step-ahead predictives
+    m_prev = sb.shift_down(ms)  # m0 = 0
+    p_prev = sb.shift_down(ps) + first * eye_r  # p0 = I
+    mp = sb.matvec(a, m_prev)
+    ppd = sb.matmul(sb.matmul(a, p_prev), a, tb=True) + q
+    s2 = sb.matmul(sb.matmul(h, ppd), h, tb=True) + r_em
+    innov = y - sb.matvec(h, mp)
+    l2, inv2 = sb.cholesky(s2)
+    z = sb.solve_lower_vec(l2, inv2, innov)
+    ll = -0.5 * (
+        jnp.sum(z * z)
+        + t * obs * jnp.log(2 * jnp.pi)
+        + 2.0 * sb.chol_log_diag_sum(l2)
+    )
+    return sb.vec_from_em(ms), sb.from_em(ps), ll
 
 
-def _smoother_element(m, p, a_next, q_next, last):
-    """Per-step element (E, g, L) of the parallel RTS smoother."""
-    pp = a_next @ p @ a_next.T + q_next
-    gain = jnp.linalg.solve(pp.T, (p @ a_next.T).T).T
-    e = gain
-    g = m - gain @ a_next @ m
-    ell = p - gain @ pp @ gain.T
-    e = jnp.where(last, jnp.zeros_like(e), e)
-    g = jnp.where(last, m, g)
-    ell = jnp.where(last, p, ell)
-    return e, g, ell
-
-
-def _smoother_combine(elem_a, elem_b):
-    """Composition for the reverse suffix scan.
+def _smoother_combine_em(ea, eb):
+    """Composition for the reverse suffix scan (element-major).
 
     With ``reverse=True`` the scan hands us (accumulated-suffix, current)
     and the result must be current-composed-with-suffix:
     m_s(i) = E_i m_s(i+1) + g_i applied outermost.
     """
-    e_a, g_a, l_a = elem_a
-    e_b, g_b, l_b = elem_b
-    e = e_b @ e_a
-    g = (e_b @ g_a[..., None])[..., 0] + g_b
-    ell = e_b @ l_a @ jnp.swapaxes(e_b, -1, -2) + l_b
+    e_a, g_a, l_a = ea  # g carried as [r, 1, T]
+    e_b, g_b, l_b = eb
+    e = sb.matmul(e_b, e_a)
+    g = sb.matmul(e_b, g_a) + g_b
+    ell = sb.matmul(sb.matmul(e_b, l_a), e_b, tb=True) + l_b
     return e, g, ell
 
 
@@ -297,15 +288,29 @@ def _smoother_combine(elem_a, elem_b):
 @_highest_precision
 def smooth_parallel(ssm: SSM, xs: Array) -> Tuple[Array, Array]:
     """O(log T)-depth RTS smoother via associative scan over filtered
-    moments (themselves computed with the parallel filter)."""
-    ms, ps, _ = filter_parallel(ssm, xs)
+    moments (element-major internals, like filter_parallel)."""
+    ms_b, ps_b, _ = filter_parallel(ssm, xs)
     t = xs.shape[0]
-    last = jnp.arange(t) == t - 1
-    a_next = jnp.concatenate([ssm.a[1:], ssm.a[-1:]], axis=0)
-    q_next = jnp.concatenate([ssm.q[1:], ssm.q[-1:]], axis=0)
-    elems = jax.vmap(_smoother_element)(ms, ps, a_next, q_next, last)
-    e, g, ell = jax.lax.associative_scan(_smoother_combine, elems, reverse=True)
-    return g, ell
+    dtype = ssm.a.dtype
+    ms = sb.vec_to_em(ms_b)
+    ps = sb.to_em(ps_b)
+    a = sb.to_em(ssm.a)
+    q = sb.to_em(ssm.q)
+    a_n = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+    q_n = jnp.concatenate([q[..., 1:], q[..., -1:]], axis=-1)
+    last = (jnp.arange(t) == t - 1).astype(dtype)[None, None, :]
+    not_last = 1.0 - last
+
+    pp = sb.matmul(sb.matmul(a_n, ps), a_n, tb=True) + q_n
+    gain = sb.transpose(_solve_spd(pp, sb.matmul(a_n, ps)))  # p a_n^T pp^{-1}
+    e = not_last * gain
+    g = ms - not_last[0] * sb.matvec(gain, sb.matvec(a_n, ms))
+    ell = ps - not_last * sb.matmul(sb.matmul(gain, pp), gain, tb=True)
+
+    e, g, ell = jax.lax.associative_scan(
+        _smoother_combine_em, (e, g[:, None, :], ell), axis=2, reverse=True
+    )
+    return sb.vec_from_em(g[:, 0, :]), sb.from_em(ell)
 
 
 @jax.jit

@@ -1,11 +1,12 @@
-"""Timing sweep: Kalman vs block-tridiagonal engines, N = 10^1 .. 10^7.
+"""Timing sweep: Kalman vs block-tridiagonal engines, N = 10^2 .. 10^7.
 
 The reference's headline benchmark machinery (kalman_timing_script.py):
 wall-clock for {KF posterior, CR posterior, KF likelihood, CR likelihood}
-with exactness asserts between the smoother and the CR posterior.  Here the
-comparison is between the sequential-scan Kalman baseline, the parallel
-(associative-scan) Kalman, and the partitioned block-Thomas engine, on the
-accelerator, with relay-safe timing (host-read sync, in-jit iteration).
+with exactness asserts between the smoother and the block-tridiagonal
+posterior.  Here the comparison is between the sequential-scan Kalman
+baseline, the parallel (associative-scan) Kalman, and the partitioned
+block-Thomas engine, on the accelerator, with relay-safe timing
+(utils/profiling.timed: in-jit iteration + host-read sync).
 
 Emits one JSON line per (N, op).
 """
@@ -17,7 +18,6 @@ _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), 
 
 
 import json
-import time
 
 import numpy as np
 
@@ -27,25 +27,13 @@ import jax.numpy as jnp
 from cyclic_gps_tpu.baselines import kalman
 from cyclic_gps_tpu.models import leg
 from cyclic_gps_tpu.ops import partitioned as ptn
+from cyclic_gps_tpu.utils.profiling import timed
 
 RANK = 2
 OBS_DIM = 2
 SIZES = [10**2, 10**4, 10**6, 10**7]
+KF_MAX = 10**4  # sequential/parallel smoother comparison sizes
 DTYPE = jnp.float32
-
-
-def timed(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # host-read sync on a scalar derived from the output
-    leaves = jax.tree.leaves(out)
-    scalarize = jax.jit(lambda *xs: sum(jnp.sum(x) for x in xs))
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
-        float(scalarize(*jax.tree.leaves(fn(*args))))
-        times.append(time.time() - t0)
-    return float(np.min(times))
 
 
 def main():
@@ -53,35 +41,33 @@ def main():
                              dtype=DTYPE)
     for n in SIZES:
         ts = jnp.cumsum(jnp.ones(n, dtype=DTYPE))
+        xs = 0.5 * jax.random.normal(jax.random.key(2), (n, OBS_DIM),
+                                     dtype=DTYPE)
         ssm = kalman.leg_to_ssm(params, ts)
-        zs = kalman.sample_states(ssm, jax.random.key(1))
-        xs = zs @ params.b.T + 0.1 * jax.random.normal(
-            jax.random.key(2), (n, OBS_DIM), dtype=DTYPE
-        )
 
         k_diag, k_off = leg.posterior_precision(params, ts)
         v = leg.compute_v(params, xs)
 
         results = {}
         results["pt_posterior_mean"] = timed(
-            lambda: ptn.solve(k_diag, k_off, v)
+            lambda kd: ptn.solve(kd, k_off, v), k_diag, iters=5
         )
         results["pt_loglik"] = timed(
-            lambda: leg.log_likelihood(params, ts, xs)
+            lambda x: leg.log_likelihood(params, ts, x, regular=True), xs,
+            iters=5,
         )
-        if n <= 10**4:
+        if n <= KF_MAX:
             results["kf_seq_smoother"] = timed(
-                lambda: kalman.smooth_sequential(ssm, xs)
+                lambda x: kalman.smooth_sequential(ssm, x), xs, iters=5
             )
             results["kf_par_smoother"] = timed(
-                lambda: kalman.smooth_parallel(ssm, xs)
+                lambda x: kalman.smooth_parallel(ssm, x), xs, iters=5
             )
             results["kf_seq_loglik"] = timed(
-                lambda: kalman.log_likelihood_sequential(ssm, xs)
+                lambda x: kalman.log_likelihood_sequential(ssm, x), xs,
+                iters=5,
             )
-
-        # exactness: posterior mean == smoothed states (regular grid)
-        if n <= 10**4:
+            # exactness: posterior mean == smoothed states (regular grid)
             mean = ptn.solve(k_diag, k_off, v)
             sm, _ = kalman.smooth_sequential(ssm, xs)
             err = float(jnp.abs(mean - sm).max())
@@ -89,7 +75,8 @@ def main():
             results["posterior_vs_smoother_maxerr"] = err
 
         for op, seconds in results.items():
-            print(json.dumps({"n": n, "op": op, "ms": round(seconds * 1e3, 3)}))
+            print(json.dumps({"n": n, "op": op,
+                              "ms": round(seconds * 1e3, 3)}), flush=True)
 
 
 if __name__ == "__main__":
