@@ -207,6 +207,14 @@ def transition_and_noise_em(g: Array, diffs: Array) -> Tuple[Array, Array]:
     ``g`` may carry a leading stack axis [K, r, r] with ``diffs`` of
     length K*T (gap i uses generator i // T): used to fuse the G and G^T
     Van Loan calls into one batched expm.
+
+    Hybrid per gap: Van Loan's augmented exponential contains the GROWING
+    block e^{+d A^T}, which for large gaps (e^{|d G|/2} >> 1/eps)
+    contaminates the P block through the Pade squaring recursion.  But the
+    direct formula I - e e^T only cancels for SMALL gaps.  So: Van Loan
+    (with the gap clamped into its stable range, so the unselected branch
+    stays finite for gradients) where |d G|/2 < 1, direct elsewhere --
+    each branch used exactly where it is accurate to working precision.
     """
     from cyclic_gps_tpu.ops.expm_em import expm_em
 
@@ -223,15 +231,37 @@ def transition_and_noise_em(g: Array, diffs: Array) -> Tuple[Array, Array]:
         return jnp.concatenate([top, bot], axis=-2)  # [2r, 2r]
 
     ms = jnp.stack([augmented(gs[i]) for i in range(k)], axis=0)
-    # per-gap scaled matrices, em layout [2r, 2r, K*T]
+    # per-generator half-norms to locate the cancellation regime
+    half_norms = jnp.max(
+        jnp.sum(jnp.abs(-0.5 * gs), axis=-1), axis=-1
+    )  # [K]
+    d_kt = diffs.reshape(k, t)
+    t_norm = d_kt * half_norms[:, None]  # [K, T]
+    small = (t_norm < 1.0)
+    d_clamped = jnp.where(small, d_kt, 1.0 / half_norms[:, None])
+
+    # Van Loan branch (clamped gaps), 2r x 2r
     m_em = (
         jnp.transpose(ms, (1, 2, 0))[:, :, :, None]
-        * diffs.reshape(k, t)[None, None]
+        * d_clamped[None, None]
     ).reshape(2 * r, 2 * r, k * t)
     big = expm_em(m_em)
-    e = big[:r, :r]
     p = big[:r, r:]
-    q = sb.matmul(p, e, tb=True)
+    e_vl = big[:r, :r]
+    q_vl = sb.matmul(p, e_vl, tb=True)
+
+    # direct branch (true gaps), r x r -- e is decaying, always stable
+    a_em = (
+        jnp.transpose(jnp.stack([-0.5 * gs[i] for i in range(k)]),
+                      (1, 2, 0))[:, :, :, None]
+        * d_kt[None, None]
+    ).reshape(r, r, k * t)
+    e = expm_em(a_em)
+    eye = jnp.eye(r, dtype=g.dtype)[:, :, None]
+    q_direct = eye - sb.matmul(e, e, tb=True)
+
+    mask = small.reshape(-1)[None, None, :].astype(g.dtype)
+    q = mask * q_vl + (1.0 - mask) * q_direct
     q = 0.5 * (q + sb.transpose(q))
     return e, q
 
@@ -344,6 +374,116 @@ def _peg_precision_em_regular(g: Array, dt: Array, num_obs: int):
     return diag, off, -logdet_prior
 
 
+@_highest_precision
+def _k_system_chunked(params: LEGParams, ts: Array, xs: Array, s: int,
+                      regular: bool):
+    """Posterior-precision system K = Sigma^{-1} + I (x) B^T LLT^{-1} B
+    emitted DIRECTLY in the partitioned engine's chunk-major layout
+    ([s, r, r, C] / [s, r, C]), plus log|Sigma^{-1}|.
+
+    The precision blocks are elementwise functions of the gaps, so any
+    layout is free to construct: natural index i = c*s + j lives at
+    [j, ..., c], padding blocks are exactly identity / zero, and the
+    neighbour term d_left[i-1] is a shift down the step axis with a
+    chunk-crossing row from the previous chunk.  This skips the
+    [N, d, d] -> chunk-major relayout passes of the array API entirely.
+    """
+    rank = params.rank
+    g = g_matrix(params)
+    llt = lambda_lambda_t(params)
+    n = ts.shape[0]
+    c = -(-n // s)
+    m = c * s
+    dtype = g.dtype
+
+    # chunk-major timestamps and gap validity
+    ts_pad = jnp.concatenate(
+        [ts, jnp.zeros((m - n,), dtype=ts.dtype)]
+    ).reshape(c, s).T  # [s, C]
+    idx = (jnp.arange(s)[:, None] + s * jnp.arange(c)[None, :])  # [s, C]
+    gap_valid = (idx < n - 1).astype(dtype)
+    is_real = (idx < n).astype(dtype)
+
+    # next timestamp in natural order: [j+1, c], wrapping to [0, c+1]
+    next_row = jnp.concatenate(
+        [ts_pad[:1, 1:], jnp.zeros((1, 1), dtype=ts.dtype)], axis=1
+    )
+    ts_next = jnp.concatenate([ts_pad[1:], next_row], axis=0)
+    diffs = (ts_next - ts_pad) * gap_valid + (1.0 - gap_valid)  # pad gap 1
+
+    if regular:
+        dt = ts[1] - ts[0]
+        both = transition_and_noise_em(
+            jnp.stack([g, g.T]), jnp.full((2,), dt, dtype=dtype)
+        )
+        e = jnp.broadcast_to(both[0][:, :, :1], (rank, rank, 1))
+        q1 = both[1][:, :, :1]
+        q2 = both[1][:, :, 1:]
+    else:
+        both = transition_and_noise_em(
+            jnp.stack([g, g.T]),
+            jnp.concatenate([diffs.reshape(-1), diffs.reshape(-1)]),
+        )
+        e = both[0][:, :, : s * c]
+        q1 = both[1][:, :, : s * c]
+        q2 = both[1][:, :, s * c:]
+
+    l1, inv1 = sb.cholesky(q1)
+    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e))
+    l2, inv2 = sb.cholesky(q2)
+    q2_inv_et = sb.solve_lower_t(
+        l2, inv2, sb.solve_lower(l2, inv2, sb.transpose(e))
+    )
+    off1 = -q1_inv_e  # [r, r, s*C] (or [.., 1] if regular)
+    d_left = sb.matmul(e, q2_inv_et)
+    d_right = sb.matmul(sb.transpose(e), q1_inv_e)
+
+    def cm(x):  # [r, r, s*C] -> [s, r, r, C] (broadcasting the regular case)
+        if x.shape[-1] == 1:
+            return jnp.broadcast_to(x[None], (s, rank, rank, c))
+        return jnp.transpose(x.reshape(rank, rank, s, c), (2, 0, 1, 3))
+
+    gv = gap_valid[:, None, None, :]
+    off_cm = cm(off1) * gv
+    d_right_cm = cm(d_right) * gv
+    d_left_cm = cm(d_left) * gv
+    # shift d_left down one natural step: [j-1, c]; j=0 <- [s-1, c-1]
+    wrap = jnp.concatenate(
+        [jnp.zeros((1, rank, rank, 1), dtype=dtype),
+         d_left_cm[-1:, :, :, :-1]], axis=-1
+    )
+    d_left_shifted = jnp.concatenate([wrap, d_left_cm[:-1]], axis=0)
+
+    eye = jnp.eye(rank, dtype=dtype)[None, :, :, None]
+    boost = (params.b.T @ jnp.linalg.solve(llt, params.b))[None, :, :, None]
+    k_cm = (
+        eye
+        + d_left_shifted
+        + d_right_cm
+        + boost * is_real[:, None, None, :]
+    )
+
+    # log|Sigma^{-1}| = -sum over REAL gaps of log|Q1|
+    if regular:
+        sig_logdet = -2.0 * (n - 1) * sb.chol_log_diag_sum(l1)
+    else:
+        ldiag = jnp.log(
+            jnp.diagonal(l1, axis1=0, axis2=1)
+        )  # [s*C, r]
+        sig_logdet = -2.0 * jnp.sum(
+            ldiag * gap_valid.reshape(-1)[:, None]
+        )
+
+    # v in chunk-major order
+    x_llt_inv = jnp.linalg.solve(llt, xs.T).T
+    v = x_llt_inv @ params.b  # [N, rank]
+    v_pad = jnp.concatenate(
+        [v, jnp.zeros((m - n, rank), dtype=dtype)], axis=0
+    )
+    v_cm = jnp.transpose(v_pad.reshape(c, s, rank), (1, 2, 0))  # [s, r, C]
+    return k_cm, off_cm, v_cm, sig_logdet
+
+
 @partial(jax.jit, static_argnames=("regular",))
 @_highest_precision
 def log_likelihood(
@@ -370,24 +510,28 @@ def log_likelihood(
         2.0 * jnp.pi * llt
     )[1]
 
-    v = x_llt_inv @ params.b  # [N, rank]
-
-    if regular:
-        d_em, o_em, sig_inv_logdet = _peg_precision_em_regular(
-            g, ts[1] - ts[0], num_obs
+    s = pt.default_chunk_len(num_obs)
+    if num_obs >= max(pt._TERMINAL, 2 * s):
+        # large-N path: emit K directly in the partitioned engine's
+        # chunk-major layout (no relayout passes)
+        k_cm, o_cm, v_cm, sig_inv_logdet = _k_system_chunked(
+            params, ts, xs, s, regular
         )
-        sig_inv_diag, sig_inv_off = sb.from_em(d_em), sb.from_em(o_em)
+        k_mahal, k_logdet = pt.mahal_and_logdet_cm(k_cm, o_cm, v_cm)
     else:
-        sig_inv_diag, sig_inv_off, sig_inv_logdet = peg_precision_and_logdet(
-            g, ts
-        )
+        v = x_llt_inv @ params.b  # [N, rank]
+        if regular:
+            d_em, o_em, sig_inv_logdet = _peg_precision_em_regular(
+                g, ts[1] - ts[0], num_obs
+            )
+            sig_inv_diag, sig_inv_off = sb.from_em(d_em), sb.from_em(o_em)
+        else:
+            (sig_inv_diag, sig_inv_off,
+             sig_inv_logdet) = peg_precision_and_logdet(g, ts)
+        bt_llt_inv_b = params.b.T @ jnp.linalg.solve(llt, params.b)
+        k_diag = sig_inv_diag + bt_llt_inv_b[None]
+        k_mahal, k_logdet = pt.mahal_and_logdet(k_diag, sig_inv_off, v)
 
-    llt_inv_b = jnp.linalg.solve(llt, params.b)
-    bt_llt_inv_b = params.b.T @ llt_inv_b
-    k_diag = sig_inv_diag + bt_llt_inv_b[None]
-    k_off = sig_inv_off
-
-    k_mahal, k_logdet = pt.mahal_and_logdet(k_diag, k_off, v)
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_inv_logdet
     return -0.5 * (mahal + logdet)
@@ -410,10 +554,27 @@ def compute_v(params: LEGParams, xs: Array) -> Array:
     return jnp.linalg.solve(llt, xs.T).T @ params.b
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("regular",))
+@_highest_precision
+def posterior_mean(
+    params: LEGParams, ts: Array, xs: Array, regular: bool = False
+) -> Array:
+    """Posterior mean of the latent z at the observation times, via the
+    chunk-major emission path (scales to N = 1e7+)."""
+    n = ts.shape[0]
+    s = pt.default_chunk_len(n)
+    if n < max(pt._TERMINAL, 2 * s):
+        k_diag, k_off = posterior_precision(params, ts)
+        return pt.solve(k_diag, k_off, compute_v(params, xs))
+    k_cm, o_cm, v_cm, _ = _k_system_chunked(params, ts, xs, s, regular)
+    x_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm)
+    return x_pad[:n]
+
+
+@partial(jax.jit, static_argnames=("regular",))
 @_highest_precision
 def insample_posterior(
-    params: LEGParams, ts: Array, xs: Array
+    params: LEGParams, ts: Array, xs: Array, regular: bool = False
 ) -> Tuple[Array, Array, Array]:
     """Posterior mean, marginal covariances and lag-1 cross-covariances of
     the latent z at the observation times (reference models.py:282-298).
@@ -421,10 +582,17 @@ def insample_posterior(
     Returns (mean [N, r], cov_diag [N, r, r], cov_off [N-1, r, r]) where
     cov_off[i] = Cov(z_{i+1}, z_i | x).
     """
-    k_diag, k_off = posterior_precision(params, ts)
-    mean = pt.solve(k_diag, k_off, compute_v(params, xs))
-    cov_diag, cov_off = pt.inverse_blocks(k_diag, k_off)
-    return mean, cov_diag, cov_off
+    n = ts.shape[0]
+    s = pt.default_chunk_len(n)
+    if n < max(pt._TERMINAL, 2 * s):
+        k_diag, k_off = posterior_precision(params, ts)
+        mean = pt.solve(k_diag, k_off, compute_v(params, xs))
+        cov_diag, cov_off = pt.inverse_blocks(k_diag, k_off)
+        return mean, cov_diag, cov_off
+    k_cm, o_cm, v_cm, _ = _k_system_chunked(params, ts, xs, s, regular)
+    mean_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm)
+    cov_diag_pad, cov_off_pad = pt.inverse_blocks_cm(k_cm, o_cm)
+    return mean_pad[:n], cov_diag_pad[:n], cov_off_pad[: n - 1]
 
 
 def _forecast(rank, eg, ip_mean, ip_cov):

@@ -224,6 +224,26 @@ def mahal_and_logdet(
     return _mahal_and_logdet_impl(diag, off, y, s, jitter)
 
 
+def mahal_and_logdet_cm(R_cm: Array, O_cm: Array, y_cm: Array,
+                        jitter: float = 0.0) -> Tuple[Array, Array]:
+    """Fused (y^T J^{-1} y, log|J|) on ALREADY chunk-major inputs
+    (R_cm/O_cm [s, d, d, C], y_cm [s, d, C], trailing-zero O invariant,
+    identity/zero padding for any tail).  Producers that construct the
+    blocks elementwise (e.g. the LEG precision) emit this layout for free,
+    skipping the [N, d, d] -> chunk-major relayout passes entirely."""
+    c = R_cm.shape[-1]
+    state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter, collect=False)
+    red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
+    red_mh, red_ld = _mahal_and_logdet_impl(
+        sb.from_em(red_diag),
+        sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs),
+        None,
+        jitter,
+    )
+    return state.mh + red_mh, 2.0 * state.ld + red_ld
+
+
 @partial(jax.jit, static_argnames=("s", "jitter"))
 def logdet(
     diag: Array, off: Array, s: Optional[int] = None, jitter: float = 0.0
@@ -243,6 +263,15 @@ def _solve_impl(diag, off, y, s, jitter):
         decomp = cr.decompose(diag, off, jitter=jitter)
         return cr.solve(decomp, y), cr.logdet(decomp)
     R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, y, s)
+    x_nat, ld = _solve_from_cm(R_cm, O_cm, y_cm, jitter)
+    return x_nat[:n], ld
+
+
+def _solve_from_cm(R_cm, O_cm, y_cm, jitter):
+    """Solve + logdet on chunk-major inputs; returns the full padded
+    natural-order solution [C*s, d] and log|J|."""
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
     state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
                                         collect=True)
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
@@ -285,7 +314,7 @@ def _solve_impl(diag, off, y, s, jitter):
     # assemble [s, d, C] chunk-major solution, then back to natural order
     x_cm = jnp.concatenate([xb[None], interior], axis=0)
     x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, d)
-    return x_nat[:n], 2.0 * state.ld + red_ld
+    return x_nat, 2.0 * state.ld + red_ld
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))
@@ -299,6 +328,13 @@ def solve(
     """J^{-1} y: recursive partitioned elimination + chain
     back-substitution."""
     return _solve_impl(diag, off, y, s, jitter)[0]
+
+
+def solve_cm(R_cm: Array, O_cm: Array, y_cm: Array,
+             jitter: float = 0.0) -> Tuple[Array, Array]:
+    """(J^{-1} y [C*s, d] padded natural order, log|J|) on chunk-major
+    inputs (see mahal_and_logdet_cm)."""
+    return _solve_from_cm(R_cm, O_cm, y_cm, jitter)
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))
@@ -341,6 +377,16 @@ def _inverse_impl(diag, off, s, jitter):
 
     zeros_y = jnp.zeros((n, d), dtype=diag.dtype)
     R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, zeros_y, s)
+    diag_nat, off_nat = _inverse_from_cm(R_cm, O_cm, jitter)
+    return diag_nat[:n], off_nat[: n - 1]
+
+
+def _inverse_from_cm(R_cm, O_cm, jitter):
+    """Selected inverse on chunk-major inputs; returns padded
+    natural-order (diag [C*s, d, d], off [C*s, d, d])."""
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    y_cm = jnp.zeros((s, d, c), dtype=R_cm.dtype)
     state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
                                         collect=True)
     red_diag, red_off, _ = _reduced_system(R_cm, y_cm, state, w1)
@@ -351,7 +397,7 @@ def _inverse_impl(diag, off, s, jitter):
     p00 = sb.to_em(bb_diag)  # Sigma_{b_c, b_c}                [d, d, C]
     # Sigma_{b_{c+1}, b_c}: pad the last chunk with zeros (no b_C)
     p10 = jnp.concatenate(
-        [sb.to_em(bb_off), jnp.zeros((d, d, 1), dtype=diag.dtype)], axis=-1
+        [sb.to_em(bb_off), jnp.zeros((d, d, 1), dtype=R_cm.dtype)], axis=-1
     )
     p11 = sb.shift_up(p00)  # Sigma_{b_{c+1}, b_{c+1}} (pad irrelevant)
     p01 = sb.transpose(p10)
@@ -406,7 +452,7 @@ def _inverse_impl(diag, off, s, jitter):
         off_int = off_mid  # pairs (j, j+1) for j = 1..s-2
     else:
         diag_int = diag_last[None]
-        off_int = jnp.zeros((0, d, d, R_cm.shape[-1]), dtype=diag.dtype)
+        off_int = jnp.zeros((0, d, d, R_cm.shape[-1]), dtype=R_cm.dtype)
 
     # left-edge off block: Sigma[cs+1, cs] = -(u0_1 P00 + u1_1 P10)
     off_edge_left = -(sb.matmul(u0, p00) + sb.matmul(u1, p10))
@@ -418,7 +464,14 @@ def _inverse_impl(diag, off, s, jitter):
     )
     diag_nat = jnp.transpose(diag_cm, (3, 0, 1, 2)).reshape(-1, d, d)
     off_nat = jnp.transpose(off_cm, (3, 0, 1, 2)).reshape(-1, d, d)
-    return diag_nat[:n], off_nat[: n - 1]
+    return diag_nat, off_nat
+
+
+def inverse_blocks_cm(R_cm: Array, O_cm: Array,
+                      jitter: float = 0.0) -> Tuple[Array, Array]:
+    """Selected inverse on chunk-major inputs; padded natural order
+    ([C*s, d, d], [C*s, d, d]; the caller slices to [:n] / [:n-1])."""
+    return _inverse_from_cm(R_cm, O_cm, jitter)
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))

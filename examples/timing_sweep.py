@@ -43,20 +43,17 @@ def main():
         ts = jnp.cumsum(jnp.ones(n, dtype=DTYPE))
         xs = 0.5 * jax.random.normal(jax.random.key(2), (n, OBS_DIM),
                                      dtype=DTYPE)
-        ssm = kalman.leg_to_ssm(params, ts)
-
-        k_diag, k_off = leg.posterior_precision(params, ts)
-        v = leg.compute_v(params, xs)
-
         results = {}
         results["pt_posterior_mean"] = timed(
-            lambda kd: ptn.solve(kd, k_off, v), k_diag, iters=5
+            lambda x: leg.posterior_mean(params, ts, x, regular=True), xs,
+            iters=5,
         )
         results["pt_loglik"] = timed(
             lambda x: leg.log_likelihood(params, ts, x, regular=True), xs,
             iters=5,
         )
         if n <= KF_MAX:
+            ssm = kalman.leg_to_ssm(params, ts)
             results["kf_seq_smoother"] = timed(
                 lambda x: kalman.smooth_sequential(ssm, x), xs, iters=5
             )
@@ -68,7 +65,7 @@ def main():
                 iters=5,
             )
             # exactness: posterior mean == smoothed states (regular grid)
-            mean = ptn.solve(k_diag, k_off, v)
+            mean = leg.posterior_mean(params, ts, xs, regular=True)
             sm, _ = kalman.smooth_sequential(ssm, xs)
             err = float(jnp.abs(mean - sm).max())
             assert err < 1e-2, err  # f32 tolerance
