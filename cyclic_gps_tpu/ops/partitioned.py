@@ -225,14 +225,28 @@ def mahal_and_logdet(
 
 
 def mahal_and_logdet_cm(R_cm: Array, O_cm: Array, y_cm: Array,
-                        jitter: float = 0.0) -> Tuple[Array, Array]:
+                        jitter: float = 0.0,
+                        backend: str = "xla") -> Tuple[Array, Array]:
     """Fused (y^T J^{-1} y, log|J|) on ALREADY chunk-major inputs
     (R_cm/O_cm [s, d, d, C], y_cm [s, d, C], trailing-zero O invariant,
     identity/zero padding for any tail).  Producers that construct the
     blocks elementwise (e.g. the LEG precision) emit this layout for free,
-    skipping the [N, d, d] -> chunk-major relayout passes entirely."""
+    skipping the [N, d, d] -> chunk-major relayout passes entirely.
+
+    ``backend="pallas"`` runs the forward sweep as one fused Pallas TPU
+    kernel (ops/pallas_sweep.py; forward-only, jitter ignored)."""
     c = R_cm.shape[-1]
-    state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter, collect=False)
+    s = R_cm.shape[0]
+    if backend == "pallas":
+        from cyclic_gps_tpu.ops.pallas_sweep import forward_sweep_pallas
+
+        (acc00, accy0, w0l, wl, dl, invdl, mh,
+         ld) = forward_sweep_pallas(R_cm, O_cm, y_cm)
+        w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+        state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
+    else:
+        state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                      collect=False)
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
     red_mh, red_ld = _mahal_and_logdet_impl(
         sb.from_em(red_diag),
