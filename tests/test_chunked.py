@@ -1,0 +1,100 @@
+"""Chunk-major emission paths and the Pallas sweep kernel (interpreter).
+
+The likelihood/posterior switch to chunk-major emission at N >= 64; the
+parity suites (test_likelihood at n in {100, 150}) already exercise it.
+These tests target the pieces directly at sizes where the chunked path is
+active, plus the Pallas kernel in interpreter mode (no TPU in CI).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cyclic_gps_tpu.baselines import kalman
+from cyclic_gps_tpu.data.synthetic import generate_data
+from cyclic_gps_tpu.models import leg
+from cyclic_gps_tpu.ops import cyclic_reduction as cr
+from cyclic_gps_tpu.ops import partitioned as pt
+
+
+def _params(rank, obs):
+    p = leg.init_params(jax.random.key(3), rank=rank, obs_dim=obs,
+                        dtype=jnp.float64)
+    n_rand = jax.random.normal(jax.random.key(4), p.n_params.shape,
+                               dtype=jnp.float64)
+    return p._replace(n_params=n_rand)
+
+
+@pytest.mark.parametrize("spacing", ["regular", "irregular"])
+@pytest.mark.parametrize("n", [150, 200])
+def test_chunked_posterior_matches_cr(spacing, n):
+    params = _params(4, 2)
+    ts, xs = generate_data(n, 2, dtype=jnp.float64, spacing=spacing, seed=n)
+    mean, cov_d, cov_o = leg.insample_posterior(params, ts, xs)
+    pm = leg.posterior_mean(params, ts, xs)
+
+    k_diag, k_off = leg.posterior_precision(params, ts)
+    dec = cr.decompose(k_diag, k_off)
+    m_ref = cr.solve(dec, leg.compute_v(params, xs))
+    cd_ref, co_ref = cr.inverse_blocks(dec)
+
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(m_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov_d), np.asarray(cd_ref),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov_o), np.asarray(co_ref),
+                               atol=1e-8)
+
+
+def test_chunked_regular_equals_irregular_path():
+    params = _params(3, 1)
+    ts = jnp.cumsum(jnp.full(256, 0.7, dtype=jnp.float64))
+    xs = jax.random.normal(jax.random.key(9), (256, 1), dtype=jnp.float64)
+    a = float(leg.log_likelihood(params, ts, xs))
+    b = float(leg.log_likelihood(params, ts, xs, regular=True))
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_transition_and_noise_large_gaps():
+    """The hybrid Q construction is accurate for every gap scale (the
+    pure Van Loan form loses ~e^{|dG|/2} * eps absolute for large gaps)."""
+    import scipy.linalg as sla
+
+    params = _params(4, 2)
+    g = leg.g_matrix(params)
+    gn = np.asarray(g)
+    diffs = jnp.asarray(np.logspace(-6, 2, 30))
+    e, q = leg.transition_and_noise(g, diffs)
+    for i, d in enumerate(np.asarray(diffs)):
+        e_ref = sla.expm(-0.5 * d * gn)
+        q_ref = np.eye(4) - e_ref @ e_ref.T
+        assert np.abs(np.asarray(e[i]) - e_ref).max() < 1e-13
+        scale = max(np.abs(q_ref).max(), 1e-12)
+        assert np.abs(np.asarray(q[i]) - q_ref).max() / scale < 1e-9 or d < 1e-3
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel (interpreter mode lacks the "
+                           "needed primitives); verified on-device")
+def test_pallas_sweep_matches_scan():
+    """The Pallas forward sweep matches the scan sweep (TPU only)."""
+    from cyclic_gps_tpu.ops import pallas_sweep
+
+    d, s, n = 3, 8, 256
+    rng = np.random.RandomState(0)
+    q = rng.randn(n, d, d)
+    diag = jnp.asarray(q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d))
+    off = jnp.asarray(rng.randn(n - 1, d, d) / d)
+    y = jnp.asarray(rng.randn(n, d))
+    R_cm, O_cm, y_cm, c = pt._chunk_layout(
+        diag.astype(jnp.float32), off.astype(jnp.float32),
+        y.astype(jnp.float32), s,
+    )
+    outs = pallas_sweep.forward_sweep_pallas(R_cm, O_cm, y_cm)
+    state, w1, _ = pt._forward_sweep(R_cm, O_cm, y_cm, 0.0, False)
+    np.testing.assert_allclose(np.asarray(outs[0]),
+                               np.asarray(state.acc00), atol=1e-4)
+    np.testing.assert_allclose(float(outs[6]), float(state.mh), rtol=1e-5)
+    np.testing.assert_allclose(float(outs[7]), float(state.ld), rtol=1e-5)
