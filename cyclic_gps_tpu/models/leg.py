@@ -15,9 +15,14 @@ This is a functional re-design of the reference's LightningModule
 (cyclic_gps/models.py): parameters are a pytree (`LEGParams`), every method
 is a pure jittable function, and prediction is a single vmap over target
 times instead of a Python loop (reference models.py:454-514).  Matrix
-exponentials are batched `jax.scipy.linalg.expm` (TPU-friendly) rather than
+exponentials are element-major batched Pade (ops/expm_em.py) rather than
 the reference's eigendecomposition route (model_utils.py:12-29), since
-nonsymmetric `eig` has no TPU/accelerator implementation.
+nonsymmetric `eig` has no TPU/accelerator implementation and vmapped
+[N, r, r] exponentials tile-pad ~32x on TPU.  The gap -> (transition,
+conditional covariance) map uses a hybrid Van Loan / direct construction
+(`transition_and_noise_em`), and the large-N likelihood/posterior paths
+emit the posterior-precision system directly in the partitioned engine's
+chunk-major layout (`_k_system_chunked`).
 
 Parameter packing matches the reference exactly (models.py:27-73):
 N lower-tri incl diag, R strictly-lower, Lambda lower-tri incl diag with a

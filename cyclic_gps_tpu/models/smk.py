@@ -72,6 +72,12 @@ def init_params(
     )
 
 
+def _jitter(dtype) -> float:
+    """Gram-matrix jitter: f32 needs a much larger floor for the dense
+    Cholesky of smooth kernels (observed NaNs at N ~ 300 otherwise)."""
+    return 1e-4 if dtype == jnp.float32 else 1e-8
+
+
 def kernel(params: SMKParams, t1: Array, t2: Array) -> Array:
     """SMK gram matrix between time vectors t1 [N], t2 [M] -> [N, M]."""
     tau = t1[:, None] - t2[None, :]
@@ -93,7 +99,7 @@ def neg_log_marginal_likelihood(
     n = ts.shape[0]
     y = xs.reshape(-1) - params.constant_mean
     k = kernel(params, ts, ts) + (
-        jnp.exp(params.log_noise) + 1e-8
+        jnp.exp(params.log_noise) + _jitter(ts.dtype)
     ) * jnp.eye(n, dtype=ts.dtype)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
@@ -135,7 +141,7 @@ def predict(
     """Exact GP predictive mean and variance (with observation noise)."""
     n = ts.shape[0]
     y = xs.reshape(-1) - params.constant_mean
-    noise = jnp.exp(params.log_noise) + 1e-8
+    noise = jnp.exp(params.log_noise) + _jitter(ts.dtype)
     k = kernel(params, ts, ts) + noise * jnp.eye(n, dtype=ts.dtype)
     k_star = kernel(params, target_ts, ts)  # [M, N]
     chol = jnp.linalg.cholesky(k)
