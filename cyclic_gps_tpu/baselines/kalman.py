@@ -314,6 +314,44 @@ def smooth_parallel(ssm: SSM, xs: Array) -> Tuple[Array, Array]:
 
 
 @jax.jit
+@_highest_precision
+def smooth_parallel_full(ssm: SSM, xs: Array) -> Tuple[Array, Array, Array]:
+    """Parallel RTS smoother returning means, marginal covariances AND
+    lag-1 cross-covariances Cov(z_{k+1}, z_k | x) = P^s_{k+1} G_k^T
+    (G_k the smoother gain) -- everything the LEG in-sample posterior
+    needs.  Numerically robust at f32 (innovation-form recursions), unlike
+    the precision-form selected inversion for very smooth processes.
+    """
+    ms_b, ps_b, _ = filter_parallel(ssm, xs)
+    t = xs.shape[0]
+    dtype = ssm.a.dtype
+    ms = sb.vec_to_em(ms_b)
+    ps = sb.to_em(ps_b)
+    a = sb.to_em(ssm.a)
+    q = sb.to_em(ssm.q)
+    a_n = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+    q_n = jnp.concatenate([q[..., 1:], q[..., -1:]], axis=-1)
+    last = (jnp.arange(t) == t - 1).astype(dtype)[None, None, :]
+    not_last = 1.0 - last
+
+    pp = sb.matmul(sb.matmul(a_n, ps), a_n, tb=True) + q_n
+    gain = sb.transpose(_solve_spd(pp, sb.matmul(a_n, ps)))
+    e = not_last * gain
+    g = ms - not_last[0] * sb.matvec(gain, sb.matvec(a_n, ms))
+    ell = ps - not_last * sb.matmul(sb.matmul(gain, pp), gain, tb=True)
+
+    _, g_s, ell_s = jax.lax.associative_scan(
+        _smoother_combine_em, (e, g[:, None, :], ell), axis=2, reverse=True
+    )
+    means = g_s[:, 0, :]
+    covs = ell_s
+    # cross_k = P^s_{k+1} gain_k^T for k = 0..t-2
+    covs_next = covs[..., 1:]
+    cross = sb.matmul(covs_next, gain[..., :-1], tb=True)
+    return (sb.vec_from_em(means), sb.from_em(covs), sb.from_em(cross))
+
+
+@jax.jit
 def sample_states(ssm: SSM, key: jax.Array) -> Array:
     """Latent sample path matching the reference's
     ``generate_states_from_kalman`` (kalman.py:29-39): start at 0, apply

@@ -588,6 +588,15 @@ def insample_posterior(
     cov_off[i] = Cov(z_{i+1}, z_i | x).
     """
     n = ts.shape[0]
+    # Single precision: the precision-form factorizations are beyond f32
+    # for very smooth learned processes (condition ~ 1/(dt lambda_min));
+    # the RTS smoother's innovation-form recursions are bounded by the
+    # observation noise and give the same three outputs exactly.
+    if ts.dtype != jnp.float64:
+        from cyclic_gps_tpu.baselines import kalman
+
+        ssm = kalman.leg_to_ssm(params, ts)
+        return kalman.smooth_parallel_full(ssm, xs)
     s = pt.default_chunk_len(n)
     if n < max(pt._TERMINAL, 2 * s):
         k_diag, k_off = posterior_precision(params, ts)

@@ -66,3 +66,30 @@ def test_params_checkpoint_roundtrip(tmp_path):
     loaded = train_loop.load_params(path)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_f32_end_to_end_train_predict():
+    """The full f32 user journey stays finite: Kalman-loss training,
+    smoother-based posterior, predictions with positive variances.
+    (The precision-form posterior NaNs at f32 once the learned process is
+    smooth -- regression for the dtype-based routing.)"""
+    ts, xs = generate_data(128, 2, dtype=jnp.float32, spacing="irregular",
+                           seed=1)
+    params = leg.init_params(jax.random.key(0), rank=4, obs_dim=2,
+                             dtype=jnp.float32)
+    res = train_loop.fit(params, ts, xs, num_steps=60, lr=1e-2, log_every=0)
+    assert np.isfinite(res.losses).all()
+    assert res.losses[-1] < res.losses[0]
+
+    mean, cov_d, cov_o = leg.insample_posterior(res.params, ts, xs)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(cov_d)).all()
+    assert np.isfinite(np.asarray(cov_o)).all()
+
+    target = jnp.asarray(
+        np.linspace(-2.0, float(ts[-1]) + 5.0, 40), jnp.float32
+    )
+    pm, pc = leg.make_predictions(res.params, ts, xs, target,
+                                  include_obs_noise=True)
+    assert np.isfinite(np.asarray(pm)).all()
+    assert np.all(np.diagonal(np.asarray(pc), axis1=1, axis2=2) > 0)
