@@ -199,6 +199,10 @@ def _filter_combine_em(ei, ej):
     atli2 = sb.transpose(lu_solve(sb.transpose(lhs2), a_i))
     eta_new = sb.matmul(atli2, eta_j - sb.matmul(j_j, b_i)) + eta_i
     j_new = sb.matmul(sb.matmul(atli2, j_j), a_i) + j_i
+    # C and J are mathematically symmetric; re-symmetrise so f32 roundoff
+    # cannot drift them indefinite over long compositions
+    c_new = 0.5 * (c_new + sb.transpose(c_new))
+    j_new = 0.5 * (j_new + sb.transpose(j_new))
     return a_new, b_new, c_new, eta_new, j_new
 
 

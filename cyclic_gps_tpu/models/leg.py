@@ -164,10 +164,15 @@ def g_matrix(params: LEGParams) -> Array:
 
 
 def lambda_lambda_t(params: LEGParams) -> Array:
-    """Observation noise covariance + 1e-9 I (models.py:161-170)."""
+    """Observation noise covariance + eps I (models.py:161-170).
+
+    eps is the reference's 1e-9 at float64; at float32 a 1e-6 floor keeps
+    S^{-1} (and the parallel filter's information elements) within f32
+    range when training drives the learned noise toward zero."""
     lam = lambda_matrix(params)
     llt = lam @ lam.T
-    return llt + LLT_DIAG_EPS * jnp.eye(params.obs_dim, dtype=llt.dtype)
+    eps = LLT_DIAG_EPS if llt.dtype == jnp.float64 else 1e-6
+    return llt + eps * jnp.eye(params.obs_dim, dtype=llt.dtype)
 
 
 @_highest_precision
