@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from cyclic_gps_tpu.models import leg
 from cyclic_gps_tpu.ops import smallblock as sb
-from cyclic_gps_tpu.ops.expm_em import lu_solve
+from cyclic_gps_tpu.ops.expm_em import lu_solve_pivoted
 
 Array = jnp.ndarray
 
@@ -191,12 +191,16 @@ def _filter_combine_em(ei, ej):
     d = a_i.shape[0]
     eye = jnp.eye(d, dtype=a_i.dtype)[:, :, None]
     lhs = eye + sb.matmul(c_i, j_j)
-    ajli = sb.transpose(lu_solve(sb.transpose(lhs), sb.transpose(a_j)))
+    # (I + C J) is nonsymmetric with eigenvalues >= 1 but no bound on the
+    # leading pivot; partial pivoting keeps the f32 combine stable.
+    ajli = sb.transpose(
+        lu_solve_pivoted(sb.transpose(lhs), sb.transpose(a_j))
+    )
     a_new = sb.matmul(ajli, a_i)
     b_new = sb.matmul(ajli, b_i + sb.matmul(c_i, eta_j)) + b_j
     c_new = sb.matmul(sb.matmul(ajli, c_i), a_j, tb=True) + c_j
     lhs2 = eye + sb.matmul(j_j, c_i)
-    atli2 = sb.transpose(lu_solve(sb.transpose(lhs2), a_i))
+    atli2 = sb.transpose(lu_solve_pivoted(sb.transpose(lhs2), a_i))
     eta_new = sb.matmul(atli2, eta_j - sb.matmul(j_j, b_i)) + eta_i
     j_new = sb.matmul(sb.matmul(atli2, j_j), a_i) + j_i
     # C and J are mathematically symmetric; re-symmetrise so f32 roundoff

@@ -564,13 +564,51 @@ def compute_v(params: LEGParams, xs: Array) -> Array:
     return jnp.linalg.solve(llt, xs.T).T @ params.b
 
 
-@partial(jax.jit, static_argnames=("regular",))
+POSTERIOR_METHODS = ("auto", "precision", "smoother")
+
+
+def _resolve_posterior_method(method: str, dtype) -> str:
+    """Resolve the posterior computation route.
+
+    "precision": factorise the block-tridiagonal posterior precision
+    K = Sigma^{-1} + I (x) B^T LLT^{-1} B (partitioned engine).  Its
+    condition number scales like 1/(dt * lambda_min(sym G)) -- beyond
+    1/eps_f32 for very smooth learned processes -- so it is the float64
+    route.  "smoother": the parallel Kalman/RTS smoother, whose
+    innovation covariances are bounded below by the observation noise;
+    numerically safe in float32 (same outputs exactly, ~2x slower).
+    "auto" picks by dtype.
+    """
+    if method not in POSTERIOR_METHODS:
+        raise ValueError(
+            f"method must be one of {POSTERIOR_METHODS}, got {method!r}"
+        )
+    if method == "auto":
+        return "precision" if dtype == jnp.float64 else "smoother"
+    return method
+
+
+@partial(jax.jit, static_argnames=("regular", "method"))
 @_highest_precision
 def posterior_mean(
-    params: LEGParams, ts: Array, xs: Array, regular: bool = False
+    params: LEGParams,
+    ts: Array,
+    xs: Array,
+    regular: bool = False,
+    method: str = "auto",
 ) -> Array:
     """Posterior mean of the latent z at the observation times, via the
-    chunk-major emission path (scales to N = 1e7+)."""
+    chunk-major emission path (scales to N = 1e7+).
+
+    ``method``: see `_resolve_posterior_method` -- "auto" routes float32
+    through the parallel RTS smoother (the precision-form solve succeeds
+    but is silently inaccurate at f32 for smooth learned processes).
+    """
+    if _resolve_posterior_method(method, ts.dtype) == "smoother":
+        from cyclic_gps_tpu.baselines import kalman
+
+        ssm = kalman.leg_to_ssm(params, ts)
+        return kalman.smooth_parallel(ssm, xs)[0]
     n = ts.shape[0]
     s = pt.default_chunk_len(n)
     if n < max(pt._TERMINAL, 2 * s):
@@ -581,23 +619,28 @@ def posterior_mean(
     return x_pad[:n]
 
 
-@partial(jax.jit, static_argnames=("regular",))
+@partial(jax.jit, static_argnames=("regular", "method"))
 @_highest_precision
 def insample_posterior(
-    params: LEGParams, ts: Array, xs: Array, regular: bool = False
+    params: LEGParams,
+    ts: Array,
+    xs: Array,
+    regular: bool = False,
+    method: str = "auto",
 ) -> Tuple[Array, Array, Array]:
     """Posterior mean, marginal covariances and lag-1 cross-covariances of
     the latent z at the observation times (reference models.py:282-298).
 
     Returns (mean [N, r], cov_diag [N, r, r], cov_off [N-1, r, r]) where
     cov_off[i] = Cov(z_{i+1}, z_i | x).
+
+    ``method`` ("auto" | "precision" | "smoother"): "precision" is the
+    selected-inversion route on the posterior precision (float64; fastest),
+    "smoother" the parallel Kalman/RTS route (float32-safe); "auto" picks
+    by dtype.  See `_resolve_posterior_method` for the condition bound.
     """
     n = ts.shape[0]
-    # Single precision: the precision-form factorizations are beyond f32
-    # for very smooth learned processes (condition ~ 1/(dt lambda_min));
-    # the RTS smoother's innovation-form recursions are bounded by the
-    # observation noise and give the same three outputs exactly.
-    if ts.dtype != jnp.float64:
+    if _resolve_posterior_method(method, ts.dtype) == "smoother":
         from cyclic_gps_tpu.baselines import kalman
 
         ssm = kalman.leg_to_ssm(params, ts)
@@ -688,10 +731,19 @@ def intercast(
     d1 = jnp.maximum(target_ts - ts[prev_i], 0.0)
     d2 = jnp.maximum(ts[next_i] - target_ts, 0.0)
 
-    eg_back = expm_batch(-0.5 * d_back[:, None, None] * g[None])
-    eg_fwd = expm_batch(-0.5 * d_fwd[:, None, None] * g[None])
-    eg1 = expm_batch(-0.5 * d1[:, None, None] * g[None])
-    eg2 = expm_batch(-0.5 * d2[:, None, None] * g[None])
+    # All four exponential batches in ONE element-major expm call
+    # (ops/expm_em.py): a vmapped jax.scipy expm over [P, r, r] tile-pads
+    # ~32x on TPU and OOMs at dense prediction grids (P ~ 1e5+); the
+    # element-major form is bounded-memory at any P.
+    from cyclic_gps_tpu.ops.expm_em import expm_em
+
+    p = target_ts.shape[0]
+    gaps = jnp.concatenate([d_back, d_fwd, d1, d2])  # [4P]
+    egs = expm_em(-0.5 * gaps[None, None, :] * g[:, :, None])
+    eg_back = sb.from_em(egs[:, :, :p])
+    eg_fwd = sb.from_em(egs[:, :, p:2 * p])
+    eg1 = sb.from_em(egs[:, :, 2 * p:3 * p])
+    eg2 = sb.from_em(egs[:, :, 3 * p:])
 
     def one_target(is_back, is_fwd, hit_first, hit_last, eg_back, eg_fwd,
                    eg1, eg2, prev_i, next_i, off_i):
@@ -720,22 +772,25 @@ def intercast(
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("method",))
 def predictive_posterior(
-    params: LEGParams, ts: Array, xs: Array, target_ts: Array
+    params: LEGParams, ts: Array, xs: Array, target_ts: Array,
+    method: str = "auto",
 ) -> Tuple[Array, Array]:
     """Latent predictive moments at target times (models.py:516-528)."""
-    mean, cov_diag, cov_off = insample_posterior(params, ts, xs)
+    mean, cov_diag, cov_off = insample_posterior(params, ts, xs,
+                                                 method=method)
     return intercast(params, mean, cov_diag, cov_off, ts, target_ts)
 
 
-@partial(jax.jit, static_argnames=("include_obs_noise",))
+@partial(jax.jit, static_argnames=("include_obs_noise", "method"))
 def make_predictions(
     params: LEGParams,
     ts: Array,
     xs: Array,
     target_ts: Array,
     include_obs_noise: bool = False,
+    method: str = "auto",
 ) -> Tuple[Array, Array]:
     """Data-space predictive moments at target times (models.py:530-546).
 
@@ -743,7 +798,8 @@ def make_predictions(
     (which omits Lambda Lambda^T from the predictive covariance,
     models.py:544); set True for a proper posterior-predictive covariance.
     """
-    lat_mean, lat_cov = predictive_posterior(params, ts, xs, target_ts)
+    lat_mean, lat_cov = predictive_posterior(params, ts, xs, target_ts,
+                                             method=method)
     mean = lat_mean @ params.b.T
     cov = params.b[None] @ lat_cov @ params.b.T[None]
     if include_obs_noise:

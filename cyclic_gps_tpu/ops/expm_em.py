@@ -64,6 +64,56 @@ def lu_solve(a: Array, b: Array) -> Array:
     return jnp.stack(x, axis=0)
 
 
+def lu_solve_pivoted(a: Array, b: Array) -> Array:
+    """Per-block solve A X = B by Gaussian elimination WITH partial
+    pivoting, element-major (a: [d, d, B], b: [d, e, B]).
+
+    For general nonsymmetric systems with no pivot-size guarantee -- e.g.
+    the parallel-filter combine's (I + C J) systems (baselines/kalman.py),
+    whose eigenvalues are >= 1 but whose leading entry can be near zero.
+    Pivot selection is a batched argmax + masked row swap; ~2x the work of
+    the unpivoted form, still O(d^3) unrolled wide vector ops.
+    """
+    d = a.shape[0]
+    m = a
+    rhs = b
+    rows = jnp.arange(d)
+    for j in range(d):
+        # partial pivot: index (>= j) of the largest |column-j| entry
+        cand = jnp.abs(m[:, j])  # [d, B]
+        cand = jnp.where((rows >= j)[:, None], cand, -1.0)
+        p = jnp.argmax(cand, axis=0)  # [B]
+        # swap rows j and p in m and rhs (vectorised over the batch)
+        sel_p = (rows[:, None] == p[None, :]).astype(a.dtype)  # [d, B]
+        sel_j = (rows == j).astype(a.dtype)[:, None]  # [d, 1] (broadcast)
+        row_p_m = jnp.einsum("ib,ikb->kb", sel_p, m)  # [d, B]
+        row_j_m = m[j]
+        m = (
+            m
+            + sel_j[:, None, :] * (row_p_m - row_j_m)[None]
+            - sel_p[:, None, :] * (row_p_m - row_j_m)[None]
+        )
+        row_p_r = jnp.einsum("ib,ikb->kb", sel_p, rhs)
+        row_j_r = rhs[j]
+        rhs = (
+            rhs
+            + sel_j[:, None, :] * (row_p_r - row_j_r)[None]
+            - sel_p[:, None, :] * (row_p_r - row_j_r)[None]
+        )
+        piv_inv = 1.0 / m[j, j]
+        mask = (rows > j).astype(a.dtype)[:, None]
+        f = m[:, j] * piv_inv[None, :] * mask
+        m = m - f[:, None, :] * m[j][None, :, :]
+        rhs = rhs - f[:, None, :] * rhs[j][None, :, :]
+    x = [None] * d
+    for i in reversed(range(d)):
+        acc = rhs[i]
+        for k in range(i + 1, d):
+            acc = acc - m[i, k][None, :] * x[k]
+        x[i] = acc / m[i, i][None, :]
+    return jnp.stack(x, axis=0)
+
+
 def _expm_em_impl(a: Array) -> Array:
     d = a.shape[0]
     dtype = a.dtype

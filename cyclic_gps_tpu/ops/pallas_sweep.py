@@ -89,12 +89,53 @@ def _solve_lower(L, invd, y):
     return x
 
 
-def _sweep_kernel(r_ref, o_ref, o0_ref, y_ref,
+def _solve_lower_t(L, invd, y):
+    """L^T X = Y, Y [d, e, C] (back substitution)."""
+    d = L.shape[0]
+    res = y
+    x = jnp.zeros_like(y)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
+    for i in reversed(range(d)):
+        xi = res[i:i + 1, :, :] * invd[i:i + 1, :, :]
+        onehot = (rows == i).astype(y.dtype)
+        x = x + onehot * xi
+        if i > 0:
+            res = res - _swap(L[i:i + 1, :, :]) * xi  # (L^T)[:, i] = L[i, :]
+    return x
+
+
+def _pad_chunks(R_cm, O_cm, y_cm, ct):
+    """Pad the chunk axis to a multiple of the kernel tile ``ct`` with
+    identity-diagonal / zero chunks.  Exact for mahal / logdet / solve:
+    a padded chunk has D = I, w0 = w = 0, W1 = 0, so it contributes
+    nothing to the accumulators and an identity row to the reduced
+    system (same invariant as partitioned._chunk_layout)."""
+    s, d, _, c = R_cm.shape
+    cpad = -(-c // ct) * ct
+    if cpad == c:
+        return R_cm, O_cm, y_cm, c
+    p = cpad - c
+    eye = jnp.broadcast_to(
+        jnp.eye(d, dtype=R_cm.dtype)[None, :, :, None], (s, d, d, p)
+    )
+    R_cm = jnp.concatenate([R_cm, eye], axis=-1)
+    O_cm = jnp.concatenate(
+        [O_cm, jnp.zeros((s, d, d, p), dtype=R_cm.dtype)], axis=-1
+    )
+    y_cm = jnp.concatenate(
+        [y_cm, jnp.zeros((s, d, p), dtype=R_cm.dtype)], axis=-1
+    )
+    return R_cm, O_cm, y_cm, c
+
+
+def _sweep_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
                   acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref, invdl_ref,
                   stats_ref,
                   cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s):
     j = pl.program_id(1)
-    r_j = r_ref[0]
+    d = r_ref.shape[1]
+    jit_eye = jit_ref[0, 0] * jnp.eye(d, dtype=r_ref.dtype)[:, :, None]
+    r_j = r_ref[0] + jit_eye
     o_j = o_ref[0]
     y_j = y_ref[0]  # [d, 1, C]
 
@@ -141,30 +182,37 @@ def _sweep_kernel(r_ref, o_ref, o0_ref, y_ref,
         stats_ref[ct, 1] = stats_s[0, 1]
 
 
-@jax.jit
-def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array):
+# chunk-axis kernel tile: bounds per-tile VMEM (state + double-buffered
+# per-step inputs); the chunk axis is padded up to a multiple of it
+# (_pad_chunks), never collapsed to one huge tile (round-1 VMEM blowup).
+_CT = 512
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
+                         jitter: float = 0.0):
     """Fused forward sweep on chunk-major inputs (see
     partitioned._forward_sweep, collect=False).
 
     Returns (acc00 [d,d,C], accy0 [d,C], w0_last [d,d,C], w_last [d,C],
     d_last [d,d,C], invd_last [d,C], mh, ld) -- everything the reduced
-    system and W1 assembly need.
+    system and W1 assembly need.  ``jitter`` is added to the pivot
+    blocks' diagonals exactly as in the XLA path.
     """
-    s, d, _, c = R_cm.shape
-    # tile the chunk axis so per-tile state + pipelined inputs fit VMEM
-    ct = 1024
-    while c % ct and ct > 128:
-        ct //= 2
-    if c % ct:
-        ct = c  # fall back to one tile for awkward sizes
-    nct = c // ct
+    R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm, _CT)
+    s, d, _, cpad = R_cm.shape
+    ct = min(_CT, cpad)
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R_cm.dtype)
     y3 = y_cm[:, :, None, :]  # vectors as [s, d, 1, C]
-    mat = jax.ShapeDtypeStruct((d, d, c), R_cm.dtype)
-    vec = jax.ShapeDtypeStruct((d, 1, c), R_cm.dtype)
+    mat = jax.ShapeDtypeStruct((d, d, cpad), R_cm.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R_cm.dtype)
     outs = pl.pallas_call(
         _sweep_kernel,
         grid=(nct, s - 1),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
@@ -200,7 +248,232 @@ def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array):
             pltpu.VMEM((d, 1, ct), R_cm.dtype),
             pltpu.SMEM((1, 2), R_cm.dtype),
         ],
-    )(R_cm, O_cm, O_cm, y3)
+    )(jit_arr, R_cm, O_cm, O_cm, y3)
     acc00, accy0, w0l, wl, dl, invdl, stats = outs
-    return (acc00, accy0[:, 0], w0l, wl[:, 0], dl, invdl[:, 0],
+    return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
+            dl[:, :, :c], invdl[:, 0, :c],
             jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1]))
+
+
+# ---------------------------------------------------------------------------
+# Forward sweep WITH per-step hat-factor collection (the solve path).
+# ---------------------------------------------------------------------------
+
+
+def _sweep_collect_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
+                          acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref,
+                          invdl_ref, stats_ref, hc_ref, hw0_ref, hw_ref,
+                          cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s):
+    """_sweep_kernel plus per-step 'hat' back-substitution factors
+    (partitioned._collect_solve): hat_C = D^{-T} C^T, hat_W0 = D^{-T} W0,
+    hat_w = D^{-T} w, streamed straight to HBM rows each step."""
+    j = pl.program_id(1)
+    d = r_ref.shape[1]
+    jit_eye = jit_ref[0, 0] * jnp.eye(d, dtype=r_ref.dtype)[:, :, None]
+    r_j = r_ref[0] + jit_eye
+    o_j = o_ref[0]
+    y_j = y_ref[0]  # [d, 1, C]
+
+    @pl.when(j == 0)
+    def _():
+        D, invd, ld = _chol(r_j)
+        w0 = _solve_lower(D, invd, o0_ref[0])
+        w = _solve_lower(D, invd, y_j)
+        cnew = _swap(_solve_lower(D, invd, _swap(o_j)))
+        cprev_s[:] = cnew
+        w0_s[:] = w0
+        w_s[:] = w
+        acc00_s[:] = _mm(w0, w0, ta=True)
+        accy0_s[:] = _mm(w0, w, ta=True)
+        stats_s[0, 0] = jnp.sum(w * w)
+        stats_s[0, 1] = ld
+        dl_ref[:] = D
+        invdl_ref[:] = invd
+        hc_ref[0] = _solve_lower_t(D, invd, _swap(cnew))
+        hw0_ref[0] = _solve_lower_t(D, invd, w0)
+        hw_ref[0] = _solve_lower_t(D, invd, w)
+
+    @pl.when(j > 0)
+    def _():
+        cp = cprev_s[:]
+        p = r_j - _mm(cp, cp, tb=True)
+        D, invd, ld = _chol(p)
+        w0 = -_solve_lower(D, invd, _mm(cp, w0_s[:]))
+        w = _solve_lower(D, invd, y_j - _mm(cp, w_s[:]))
+        cnew = _swap(_solve_lower(D, invd, _swap(o_j)))
+        cprev_s[:] = cnew
+        w0_s[:] = w0
+        w_s[:] = w
+        acc00_s[:] = acc00_s[:] + _mm(w0, w0, ta=True)
+        accy0_s[:] = accy0_s[:] + _mm(w0, w, ta=True)
+        stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w * w)
+        stats_s[0, 1] = stats_s[0, 1] + ld
+        dl_ref[:] = D
+        invdl_ref[:] = invd
+        hc_ref[0] = _solve_lower_t(D, invd, _swap(cnew))
+        hw0_ref[0] = _solve_lower_t(D, invd, w0)
+        hw_ref[0] = _solve_lower_t(D, invd, w)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc00_ref[:] = acc00_s[:]
+        accy0_ref[:] = accy0_s[:]
+        w0l_ref[:] = w0_s[:]
+        wl_ref[:] = w_s[:]
+        ct = pl.program_id(0)
+        stats_ref[ct, 0] = stats_s[0, 0]
+        stats_ref[ct, 1] = stats_s[0, 1]
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
+                                 jitter: float = 0.0):
+    """Forward sweep + hat-factor collection as one Pallas kernel.
+
+    Returns (acc00, accy0, w0_last, w_last, d_last, invd_last, mh, ld,
+    hat_cs, hat_w0s, hat_ws): the first eight sliced to the true chunk
+    count C, the hat stacks LEFT PADDED to the kernel tile multiple
+    (consumed as-is by `backward_substitute_pallas`; slicing them would
+    copy ~200 MB).  Padded chunks yield zero hats -> zero x rows.
+    """
+    R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm, _CT)
+    s, d, _, cpad = R_cm.shape
+    ct = min(_CT, cpad)
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R_cm.dtype)
+    y3 = y_cm[:, :, None, :]
+    mat = jax.ShapeDtypeStruct((d, d, cpad), R_cm.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R_cm.dtype)
+    smat = jax.ShapeDtypeStruct((s - 1, d, d, cpad), R_cm.dtype)
+    svec = jax.ShapeDtypeStruct((s - 1, d, 1, cpad), R_cm.dtype)
+    small = pl.BlockSpec((d, d, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    smallv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    step = pl.BlockSpec((1, d, d, ct), lambda t, j: (j, 0, 0, t),
+                        memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _sweep_collect_kernel,
+        grid=(nct, s - 1),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (0, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, 1, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            small, smallv, small, smallv, small, smallv,
+            pl.BlockSpec((nct, 2), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            step, step, stepv,
+        ],
+        out_shape=[mat, vec, mat, vec, mat, vec,
+                   jax.ShapeDtypeStruct((nct, 2), R_cm.dtype),
+                   smat, smat, svec],
+        scratch_shapes=[
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, 1, ct), R_cm.dtype),
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, 1, ct), R_cm.dtype),
+            pltpu.SMEM((1, 2), R_cm.dtype),
+        ],
+    )(jit_arr, R_cm, O_cm, O_cm, y3)
+    (acc00, accy0, w0l, wl, dl, invdl, stats, hc, hw0, hw) = outs
+    return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
+            dl[:, :, :c], invdl[:, 0, :c],
+            jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1]),
+            hc, hw0, hw[:, :, 0, :])
+
+
+# ---------------------------------------------------------------------------
+# Backward substitution kernel: the solve path's second pass.
+# ---------------------------------------------------------------------------
+
+
+def _backsub_kernel(hc_ref, hw0_ref, hw_ref, hw1_ref, xb_ref, xbn_ref,
+                    x_ref, xnext_s):
+    """One back-substitution step on a chunk tile (grid iterates steps in
+    REVERSE via the index maps):
+
+        x_{s-1} = hat_w - hat_W0 x_b - hat_W1 x_{b,next}
+        x_j     = hat_w - hat_W0 x_b - hat_C x_{j+1}     (pure FMA)
+
+    The carried x_{j+1} lives in VMEM scratch; every HBM block is read
+    exactly once, in descending step order (a plain index map, so the
+    DMA pipeline streams at full rate -- unlike a reversed `lax.scan`,
+    which walks the stacked buffers backwards).
+    """
+    j = pl.program_id(1)
+    common = hw_ref[0] - _mm(hw0_ref[0], xb_ref[:])
+
+    @pl.when(j == 0)
+    def _():
+        x = common - _mm(hw1_ref[:], xbn_ref[:])
+        x_ref[0] = x
+        xnext_s[:] = x
+
+    @pl.when(j > 0)
+    def _():
+        x = common - _mm(hc_ref[0], xnext_s[:])
+        x_ref[0] = x
+        xnext_s[:] = x
+
+
+@jax.jit
+def backward_substitute_pallas(hat_cs: Array, hat_w0s: Array, hat_ws: Array,
+                               hat_w1: Array, xb: Array, xb_next: Array):
+    """Chunk-interior back-substitution on 'hat' factors
+    (partitioned._collect_solve): returns x rows [s-1, d, C] for interior
+    steps j = 1..s-1.
+
+    hat_cs / hat_w0s: [s-1, d, d, C]; hat_ws: [s-1, d, C];
+    hat_w1: [d, d, C]; xb / xb_next: [d, C].
+    """
+    sm1, d, _, c = hat_cs.shape
+    cpad = -(-c // _CT) * _CT
+    ct = min(_CT, cpad)
+    if cpad != c:
+        p = cpad - c
+
+        def padm(a):
+            return jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (p,), dtype=a.dtype)], axis=-1
+            )
+
+        hat_cs, hat_w0s, hat_ws = padm(hat_cs), padm(hat_w0s), padm(hat_ws)
+        hat_w1, xb, xb_next = padm(hat_w1), padm(xb), padm(xb_next)
+    nct = cpad // ct
+    s2 = sm1 - 1  # grid step j reads hat row (s2 - j): descending
+    outs = pl.pallas_call(
+        _backsub_kernel,
+        grid=(nct, sm1),
+        in_specs=[
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (s2 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (s2 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, 1, ct), lambda t, j: (s2 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, 1, ct), lambda t, j: (s2 - j, 0, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sm1, d, 1, cpad), hat_cs.dtype),
+        scratch_shapes=[pltpu.VMEM((d, 1, ct), hat_cs.dtype)],
+    )(hat_cs, hat_w0s, hat_ws[:, :, None, :], hat_w1,
+      xb[:, None, :], xb_next[:, None, :])
+    return outs[:, :, 0, :c]

@@ -139,16 +139,53 @@ def _step(state: Optional[_SweepState], R_j, O_j, y_j, O_left, jitter):
     return _SweepState(c_new, w0, w, D, invd, acc00, accy0, mh, ld)
 
 
-def _forward_sweep(R_cm, O_cm, y_cm, jitter, collect: bool):
+def _flat(a):
+    """Identity hook for the per-step collected tensors.
+
+    (Measured: flattening to [d*e*C] to dodge the stacked buffer's
+    d -> 8 sublane padding makes things WORSE on TPU -- the per-step
+    relayout costs more than the padding saves, and the extra reshapes
+    blow up the compiled program.  Keep the natural [d, e, C] layout.)"""
+    return a
+
+
+def _collect_solve(state: _SweepState):
+    """Per-step back-substitution factors, in 'hat' form so the backward
+    scan is pure fused-multiply-add (no triangular solves):
+
+      x_j = hat_w_j - hat_W0_j x_b - hat_C_j x_{j+1}
+
+    with hat_C_j = D_j^{-T} C_j^T (= P_j^{-1} O_j^T), hat_W0_j =
+    D_j^{-T} W0_j, hat_w_j = D_j^{-T} w_j.  55 floats/block vs the naive
+    (D, invd, C, W0, w) = 85; the dominant HBM cost of the solve path.
+    """
+    hat_c = sb.solve_lower_t(state.dj, state.invd, sb.transpose(state.c_prev))
+    hat_w0 = sb.solve_lower_t(state.dj, state.invd, state.w0)
+    hat_w = sb.solve_lower_t_vec(state.dj, state.invd, state.w)
+    return _flat(hat_c), _flat(hat_w0), _flat(hat_w)
+
+
+def _collect_inverse(state: _SweepState):
+    """Per-step factors for selected inversion (D, invd, C, W0)."""
+    return (_flat(state.dj), _flat(state.invd), _flat(state.c_prev),
+            _flat(state.w0))
+
+
+_COLLECTORS = {"solve": _collect_solve, "inverse": _collect_inverse}
+
+
+def _forward_sweep(R_cm, O_cm, y_cm, jitter, collect):
     """Eliminate all chunk interiors (j = 1 .. s-1).
 
-    Returns (final state, W1, stacked) where stacked (if ``collect``) holds
-    the per-step (D, invd, C, W0, w) for ALL interior steps j = 1..s-1,
-    leading axis s-1, used by back-substitution.
+    ``collect`` is None (fused mahal/logdet: nothing stored), "solve"
+    (hat back-substitution factors, see `_collect_solve`) or "inverse"
+    (raw factors for the Takahashi recursion).  Returns (final state, W1,
+    stacked); stacked leaves are flattened per step (leading axis s-1).
     """
     s = R_cm.shape[0]
+    collector = _COLLECTORS[collect] if collect else None
     state = _step(None, R_cm[1], O_cm[1], y_cm[1], O_cm[0], jitter)
-    first = (state.dj, state.invd, state.c_prev, state.w0, state.w)
+    first = collector(state) if collector else None
 
     stacked = None
     if s > 2:
@@ -157,17 +194,16 @@ def _forward_sweep(R_cm, O_cm, y_cm, jitter, collect: bool):
         def body(st, inp):
             r_j, o_j, yy = inp
             new = _step(st, r_j, o_j, yy, None, jitter)
-            out = (new.dj, new.invd, new.c_prev, new.w0, new.w) if collect \
-                else None
+            out = collector(new) if collector else None
             return new, out
 
         state, rest = jax.lax.scan(body, state, xs)
-        if collect:
+        if collector:
             stacked = jax.tree.map(
                 lambda a, b: jnp.concatenate([a[None], b], axis=0),
                 first, rest,
             )
-    elif collect:
+    elif collector:
         stacked = jax.tree.map(lambda a: a[None], first)
 
     # right coupling: W1 = D_{s-1}^{-1} O_cm[s-1]^T (zero for the last
@@ -196,7 +232,7 @@ def _mahal_and_logdet_impl(diag, off, y, s, jitter):
     if n < max(_TERMINAL, 2 * s):
         return cr.mahal_and_logdet(diag, off, y, jitter=jitter)
     R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, y, s)
-    state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter, collect=False)
+    state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter, collect=None)
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
     red_mh, red_ld = _mahal_and_logdet_impl(
         sb.from_em(red_diag),
@@ -241,12 +277,12 @@ def mahal_and_logdet_cm(R_cm: Array, O_cm: Array, y_cm: Array,
         from cyclic_gps_tpu.ops.pallas_sweep import forward_sweep_pallas
 
         (acc00, accy0, w0l, wl, dl, invdl, mh,
-         ld) = forward_sweep_pallas(R_cm, O_cm, y_cm)
+         ld) = forward_sweep_pallas(R_cm, O_cm, y_cm, jitter=jitter)
         w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
         state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
     else:
         state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter,
-                                      collect=False)
+                                      collect=None)
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
     red_mh, red_ld = _mahal_and_logdet_impl(
         sb.from_em(red_diag),
@@ -281,13 +317,34 @@ def _solve_impl(diag, off, y, s, jitter):
     return x_nat[:n], ld
 
 
-def _solve_from_cm(R_cm, O_cm, y_cm, jitter):
+def _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
     """Solve + logdet on chunk-major inputs; returns the full padded
-    natural-order solution [C*s, d] and log|J|."""
+    natural-order solution [C*s, d] and log|J|.
+
+    The forward sweep stores 'hat' factors (see `_collect_solve`) so the
+    backward pass is pure FMA: x_j = hat_w_j - hat_W0_j x_b -
+    hat_C_j x_{j+1}.  ``backend="pallas"`` runs the back-substitution as
+    one Pallas kernel whose grid walks the steps in DESCENDING order with
+    plain index maps (full-rate DMA streaming; a reversed `lax.scan`
+    walks the stacked buffers backwards)."""
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
-    state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
-                                        collect=True)
+    if backend == "pallas":
+        # both passes as Pallas kernels: the forward streams hat factors
+        # to HBM as it eliminates; the backward walks them in descending
+        # step order.  The hat stacks stay padded to the kernel tile so
+        # no relayout/copy happens between the two kernels.
+        from cyclic_gps_tpu.ops import pallas_sweep as ps
+
+        (acc00, accy0, w0l, wl, dl, invdl, mh, ld,
+         hat_cs, hat_w0s, hat_ws) = ps.forward_sweep_collect_pallas(
+            R_cm, O_cm, y_cm, jitter=jitter)
+        state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
+        w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+    else:
+        state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                            collect="solve")
+        hat_cs, hat_w0s, hat_ws = stacked  # steps j = 1..s-1
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
 
     x_b, red_ld = _solve_impl(
@@ -297,33 +354,43 @@ def _solve_from_cm(R_cm, O_cm, y_cm, jitter):
     xb = sb.vec_to_em(x_b)  # [d, C] own-chunk boundary
     xb_next = sb.shift_up(xb)  # next chunk's boundary (0 for last)
 
-    ds, invds, cs_, w0s, ws = stacked  # leading axis s-1, steps j=1..s-1
+    hat_w1 = sb.solve_lower_t(state.dj, state.invd, w1)
+    if backend == "pallas":
+        cpad = hat_cs.shape[-1]  # kernel-tile padded width
 
-    # last interior row j = s-1 (carries the W1 term, no x_{j+1})
-    x_last = sb.solve_lower_t_vec(
-        state.dj,
-        state.invd,
-        state.w
-        - sb.matvec(state.w0, xb)
-        - sb.matvec(w1, xb_next),
-    )
-
-    if s > 2:
-        def back(x_next, inp):
-            dj, invd, cj, w0j, wj = inp
-            rhs = (
-                wj
-                - sb.matvec(w0j, xb)
-                - sb.matvec(cj, x_next, ta=True)
+        def padc(a):
+            if cpad == c:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (cpad - c,), dtype=a.dtype)],
+                axis=-1,
             )
-            x_j = sb.solve_lower_t_vec(dj, invd, rhs)
-            return x_j, x_j
 
-        inps = jax.tree.map(lambda a: a[:-1], (ds, invds, cs_, w0s, ws))
-        _, xs_rev = jax.lax.scan(back, x_last, inps, reverse=True)
-        interior = jnp.concatenate([xs_rev, x_last[None]], axis=0)
+        interior = ps.backward_substitute_pallas(
+            hat_cs, hat_w0s, hat_ws,
+            padc(hat_w1), padc(xb), padc(xb_next),
+        )[:, :, :c]  # [s-1, d, C], steps j = 1..s-1
     else:
-        interior = x_last[None]
+        # last interior row j = s-1 (carries the W1 term, no x_{j+1});
+        # hats recomputed from the live final state (cheaper than
+        # re-reading the stacked buffer tail)
+        hat_w0_l = sb.solve_lower_t(state.dj, state.invd, state.w0)
+        hat_w_l = sb.solve_lower_t_vec(state.dj, state.invd, state.w)
+        x_last = (hat_w_l - sb.matvec(hat_w0_l, xb)
+                  - sb.matvec(hat_w1, xb_next))
+
+        if s > 2:
+            def back(x_next, inp):
+                hc, hw0, hw = inp
+                x_j = hw - sb.matvec(hw0, xb) - sb.matvec(hc, x_next)
+                return x_j, x_j
+
+            inps = jax.tree.map(lambda a: a[:-1],
+                                (hat_cs, hat_w0s, hat_ws))
+            _, xs_rev = jax.lax.scan(back, x_last, inps, reverse=True)
+            interior = jnp.concatenate([xs_rev, x_last[None]], axis=0)
+        else:
+            interior = x_last[None]
 
     # assemble [s, d, C] chunk-major solution, then back to natural order
     x_cm = jnp.concatenate([xb[None], interior], axis=0)
@@ -345,10 +412,12 @@ def solve(
 
 
 def solve_cm(R_cm: Array, O_cm: Array, y_cm: Array,
-             jitter: float = 0.0) -> Tuple[Array, Array]:
+             jitter: float = 0.0,
+             backend: str = "xla") -> Tuple[Array, Array]:
     """(J^{-1} y [C*s, d] padded natural order, log|J|) on chunk-major
-    inputs (see mahal_and_logdet_cm)."""
-    return _solve_from_cm(R_cm, O_cm, y_cm, jitter)
+    inputs (see mahal_and_logdet_cm).  ``backend="pallas"`` runs the
+    back-substitution as a Pallas TPU kernel (descending-step DMA)."""
+    return _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend)
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))
@@ -402,7 +471,7 @@ def _inverse_from_cm(R_cm, O_cm, jitter):
     c = R_cm.shape[-1]
     y_cm = jnp.zeros((s, d, c), dtype=R_cm.dtype)
     state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
-                                        collect=True)
+                                        collect="inverse")
     red_diag, red_off, _ = _reduced_system(R_cm, y_cm, state, w1)
 
     bb_diag, bb_off = _inverse_impl(
@@ -416,7 +485,7 @@ def _inverse_from_cm(R_cm, O_cm, jitter):
     p11 = sb.shift_up(p00)  # Sigma_{b_{c+1}, b_{c+1}} (pad irrelevant)
     p01 = sb.transpose(p10)
 
-    ds, invds, cs_, w0s, _ = stacked  # steps j = 1..s-1
+    ds, invds, cs_, w0s = stacked  # flattened, steps j = 1..s-1
 
     def sigma_bb_ut(u0, u1):
         """(Sigma_BB U^T) rows: A0 = row b_c, A1 = row b_{c+1}."""
@@ -424,8 +493,8 @@ def _inverse_from_cm(R_cm, O_cm, jitter):
         a1 = sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
         return a0, a1
 
-    # init at j = s-1
-    d_last, invd_last, w0_last = ds[-1], invds[-1], w0s[-1]
+    # init at j = s-1 (from the live final state; stacked tail unread)
+    d_last, invd_last, w0_last = state.dj, state.invd, state.w0
     di_last = sb.tri_lower_inverse(d_last, invd_last)
     phi = sb.matmul(di_last, di_last, ta=True)
     u0 = sb.solve_lower_t(d_last, invd_last, w0_last)
@@ -439,7 +508,13 @@ def _inverse_from_cm(R_cm, O_cm, jitter):
 
     def back(carry, inp):
         phi_n, u0_n, u1_n, a0_n, a1_n = carry
-        d_j, invd_j, c_j, w0_j = inp
+        d_f, invd_f, c_f, w0_f = inp
+        cc = R_cm.shape[-1]
+        dd = R_cm.shape[1]
+        d_j = d_f.reshape(dd, dd, cc)
+        invd_j = invd_f.reshape(dd, cc)
+        c_j = c_f.reshape(dd, dd, cc)
+        w0_j = w0_f.reshape(dd, dd, cc)
         di = sb.tri_lower_inverse(d_j, invd_j)
         cd = sb.matmul(c_j, di)
         phi_off = -sb.matmul(phi_n, cd)  # Phi_{j+1, j}

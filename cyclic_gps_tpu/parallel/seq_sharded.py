@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cyclic_gps_tpu.models import leg
 from cyclic_gps_tpu.ops import cyclic_reduction as cr
+from cyclic_gps_tpu.ops import partitioned as pt
 from cyclic_gps_tpu.ops import smallblock as sb
 
 Array = jnp.ndarray
@@ -80,10 +81,69 @@ def _halo_shifts(axis: str):
     )
 
 
+def _partitioned_fused_local(R, O, yt, axis: str, jitter: float):
+    """Shard-local fused (mahal, logdet) via the PARTITIONED engine.
+
+    R, O: [d, d, m] local element-major blocks (m = N/P, a power of two;
+    O[..., i] couples local blocks i and i+1, the trailing entry crossing
+    the shard edge -- zero only at the global end), yt: [d, m].
+
+    Chunk boundaries align with shard boundaries by construction
+    (ops/partitioned.py docstring): each level runs one shard-local
+    `lax.scan` over chunk interiors, and the reduced boundary system's
+    nearest-neighbour terms become ONE-BLOCK `ppermute` halo exchanges
+    over ICI (the previous chunk's W1 contributions).  Levels recurse
+    shard-local until the global remainder is small, then all_gather
+    (a few KB) and finish replicated.  This replaces the round-1 CR-based
+    `_fused_local` on the hot path: same collectives pattern, ~15x less
+    work per level (one streaming pass instead of log2(m) halving levels).
+    """
+    d = R.shape[0]
+    psize = jax.lax.axis_size(axis)
+    shifts = _halo_shifts(axis)
+    mh = jnp.zeros((), R.dtype)
+    ld = jnp.zeros((), R.dtype)
+    while psize * R.shape[-1] > max(256, 4 * psize):
+        m = R.shape[-1]
+        s = min(128, m // 2)
+        while s > 1 and m % s:  # largest divisor <= 128 (trivial for 2^k)
+            s -= 1
+        if s < 2:
+            break  # no usable chunking; gather whatever remains
+        c_loc = m // s
+        # local chunk-major relayout: em index i = c*s + j -> [j, ..., c]
+        R_cm = jnp.transpose(R.reshape(d, d, c_loc, s), (3, 0, 1, 2))
+        O_cm = jnp.transpose(O.reshape(d, d, c_loc, s), (3, 0, 1, 2))
+        y_cm = jnp.transpose(yt.reshape(d, c_loc, s), (2, 0, 1))
+        state, w1, _ = pt._forward_sweep(R_cm, O_cm, y_cm, jitter, None)
+        # reduced boundary system; the (W1^T W1 / W1^T w) terms of the
+        # previous chunk cross shard edges via the halo shift_down
+        s11 = sb.matmul(w1, w1, ta=True)
+        R = R_cm[0] - state.acc00 - shifts.shift_down(s11)
+        O = -sb.matmul(w1, state.w0, ta=True)
+        yt = y_cm[0] - state.accy0 - shifts.shift_down(
+            sb.matvec(w1, state.w, ta=True)
+        )
+        mh = mh + state.mh
+        ld = ld + 2.0 * state.ld
+    # gather the small remainder and finish replicated
+    nrem = psize * R.shape[-1]
+    Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
+    Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
+    yg = jax.lax.all_gather(yt, axis, axis=1, tiled=True)
+    mh_t, ld_t = pt._mahal_and_logdet_impl(
+        sb.from_em(Rg), sb.from_em(Og)[: nrem - 1], sb.vec_from_em(yg),
+        None, jitter,
+    )
+    return jax.lax.psum(mh, axis) + mh_t, jax.lax.psum(ld, axis) + ld_t
+
+
 def _fused_local(R, O, yt, axis: str, jitter: float):
-    """Shard-local part of the fused mahal+logdet pass.
+    """Shard-local part of the fused mahal+logdet pass (CR engine).
 
     R, O: [d, d, m/P]; yt: [d, m/P].  Returns replicated (mahal, logdet).
+    Kept as the secondary/cross-check engine; the hot path is
+    `_partitioned_fused_local`.
     """
     shifts = _halo_shifts(axis)
     R, O, yt, mh, ld = cr._fused_levels(R, O, yt, jitter=jitter,
@@ -110,12 +170,17 @@ def mahal_and_logdet(
     mesh: Mesh,
     axis: str = "seq",
     jitter: float = 0.0,
+    engine: str = "partitioned",
 ) -> Tuple[Array, Array]:
     """Sequence-sharded fused (y^T J^{-1} y, log|J|).
 
     diag [N, d, d], off [N-1, d, d], y [N, d] with N a power of two
     divisible by the mesh size.  Exact match to the single-device
-    `cr.mahal_and_logdet` (tests/test_parallel.py).
+    engines (tests/test_parallel.py).
+
+    ``engine``: "partitioned" (default; one streaming pass per level,
+    the hot path) or "cr" (halo-exchange cyclic reduction; log2(m)
+    halving levels, kept as the cross-check engine).
     """
     n, d, _ = diag.shape
     psize = mesh.shape[axis]
@@ -131,9 +196,11 @@ def mahal_and_logdet(
     )
     yt = sb.vec_to_em(y)
 
+    local = {"partitioned": _partitioned_fused_local,
+             "cr": _fused_local}[engine]
     fn = jax.jit(
         jax.shard_map(
-            partial(_fused_local, axis=axis, jitter=jitter),
+            partial(local, axis=axis, jitter=jitter),
             mesh=mesh,
             in_specs=(P(None, None, axis), P(None, None, axis), P(None, axis)),
             out_specs=(P(), P()),
@@ -149,8 +216,8 @@ def mahal_and_logdet(
 
 
 def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
-    """Shard-local PEG precision blocks in element-major layout with the
-    trailing-zero invariant.
+    """Shard-local PEG precision blocks, ELEMENT-MAJOR throughout, plus
+    the local partial of the closed-form prior log-determinant.
 
     Globally (reference models.py:180-239): with e_i = expm(-.5 d_i G),
     Q1 = I - e e^T, Q2 = I - e^T e:
@@ -158,7 +225,14 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
       diag[i] = I + [e Q2^{-1} e^T]_{i-1} + [e^T Q1^{-1} e]_i
     d_i needs ts[i+1] (one halo element from the right neighbour); the
     left-interval term needs a one-block shift_down (halo from the left
-    neighbour).
+    neighbour).  All solves are Cholesky small-block sweeps on [r, r, m]
+    element-major arrays (mirroring leg._peg_precision_em); the round-1
+    version built [m, r, r] batch-major temporaries, the tile-padded
+    layout this codebase exists to avoid.
+
+    Also returns the local partial of log|Sigma^{-1}| = -sum_i log|Q1_i|
+    over real gaps (Markov factorisation, leg.peg_precision_and_logdet):
+    psum it -- no factorization of the bare prior precision needed.
     """
     shifts = _halo_shifts(axis)
     rank = g.shape[0]
@@ -172,21 +246,33 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
     is_global_last = (idx == psize - 1) & (
         jnp.arange(mloc) == mloc - 1
     )
+    gap_valid = (~is_global_last).astype(g.dtype)  # [m]
     diffs = jnp.where(is_global_last, 1.0, diffs)
 
-    e, q1 = leg.transition_and_noise(g, diffs)
-    _, q2 = leg.transition_and_noise(g.T, diffs)
-    e_t = jnp.swapaxes(e, -1, -2)
-    eye = jnp.eye(rank, dtype=g.dtype)
-    q1_inv_e = jnp.linalg.solve(q1, e)
-    q2_inv_et = jnp.linalg.solve(q2, e_t)
+    # both Van Loan exponentials (G and G^T) in one batched em expm
+    both = leg.transition_and_noise_em(
+        jnp.stack([g, g.T]), jnp.concatenate([diffs, diffs])
+    )
+    e = both[0][:, :, :mloc]
+    q1 = both[1][:, :, :mloc]
+    q2 = both[1][:, :, mloc:]
+    e_t = sb.transpose(e)
 
-    mask = (~is_global_last)[:, None, None]
-    off_em = sb.to_em(jnp.where(mask, -q1_inv_e, 0.0))
-    d_left = sb.to_em(jnp.where(mask, e @ q2_inv_et, 0.0))
-    d_right = sb.to_em(jnp.where(mask, e_t @ q1_inv_e, 0.0))
-    diag_em = eye[:, :, None] + shifts.shift_down(d_left) + d_right
-    return diag_em, off_em
+    l1, inv1 = sb.cholesky(q1)
+    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e))
+    l2, inv2 = sb.cholesky(q2)
+    q2_inv_et = sb.solve_lower_t(l2, inv2, sb.solve_lower(l2, inv2, e_t))
+
+    gv = gap_valid[None, None, :]
+    off_em = -q1_inv_e * gv
+    d_left = sb.matmul(e, q2_inv_et) * gv
+    d_right = sb.matmul(e_t, q1_inv_e) * gv
+    eye = jnp.eye(rank, dtype=g.dtype)[:, :, None]
+    diag_em = eye + shifts.shift_down(d_left) + d_right
+
+    ldiag = jnp.log(jnp.diagonal(l1, axis1=0, axis2=1))  # [m, r]
+    sig_logdet_local = -2.0 * jnp.sum(ldiag * gap_valid[:, None])
+    return diag_em, off_em, sig_logdet_local
 
 
 def _log_likelihood_local(params, ts_loc, xs_loc, axis: str):
@@ -199,17 +285,17 @@ def _log_likelihood_local(params, ts_loc, xs_loc, axis: str):
     llt_logdet = num_obs * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
     v = x_llt_inv @ params.b
 
-    sig_diag_em, sig_off_em = _peg_precision_local(g, ts_loc, axis)
-
-    # log|Sigma^{-1}|: fused levels without a RHS
-    zeros_rhs = jnp.zeros((params.rank, ts_loc.shape[0]), dtype=g.dtype)
-    _, sig_logdet = _fused_local(sig_diag_em, sig_off_em, zeros_rhs, axis,
-                                 0.0)
+    sig_diag_em, sig_off_em, sig_ld_loc = _peg_precision_local(
+        g, ts_loc, axis
+    )
+    # closed-form log|Sigma^{-1}| (no second elimination pass)
+    sig_logdet = jax.lax.psum(sig_ld_loc, axis)
 
     bt_llt_inv_b = params.b.T @ jnp.linalg.solve(llt, params.b)
     k_diag_em = sig_diag_em + bt_llt_inv_b[:, :, None]
-    k_mahal, k_logdet = _fused_local(k_diag_em, sig_off_em,
-                                     sb.vec_to_em(v), axis, 0.0)
+    k_mahal, k_logdet = _partitioned_fused_local(
+        k_diag_em, sig_off_em, sb.vec_to_em(v), axis, 0.0
+    )
 
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_logdet

@@ -65,7 +65,9 @@ def make_optimizer(
         opt = optax.lbfgs(learning_rate=lr)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
-    if reduce_on_plateau and name == "adam":
+    # the reference attaches ReduceLROnPlateau to BOTH Adam and LBFGS
+    # (models.py:384-392)
+    if reduce_on_plateau:
         opt = optax.chain(
             opt,
             optax.contrib.reduce_on_plateau(

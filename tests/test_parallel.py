@@ -31,19 +31,27 @@ def _well_conditioned(n, d, seed=0):
     return jnp.asarray(diag), jnp.asarray(off), jnp.asarray(v)
 
 
-@pytest.mark.parametrize("n", [64, 256])
-def test_seq_sharded_mahal_and_logdet(n):
+@pytest.mark.parametrize("engine", ["partitioned", "cr"])
+@pytest.mark.parametrize("n", [64, 256, 4096])
+def test_seq_sharded_mahal_and_logdet(n, engine):
+    # n = 4096 -> m = 512 per shard: exercises a real shard-local
+    # partitioned level with ppermute halo exchange (not just the
+    # terminal all-gather); 64/256 cover the terminal-only path.
     d = 3
     diag, off, v = _well_conditioned(n, d)
     mesh = seq_sharded.make_seq_mesh(8)
-    mh_s, ld_s = seq_sharded.mahal_and_logdet(diag, off, v, mesh)
+    mh_s, ld_s = seq_sharded.mahal_and_logdet(diag, off, v, mesh,
+                                              engine=engine)
     mh, ld = cr.mahal_and_logdet(diag, off, v)
     np.testing.assert_allclose(float(mh_s), float(mh), rtol=1e-10)
     np.testing.assert_allclose(float(ld_s), float(ld), rtol=1e-10)
 
 
-def test_seq_sharded_log_likelihood():
-    n, d, rank = 128, 2, 3
+@pytest.mark.parametrize("n", [128, 4096])
+def test_seq_sharded_log_likelihood(n):
+    # n = 4096 exercises the shard-local partitioned sweep + halo level
+    # in the likelihood path; 128 covers the terminal-only path.
+    d, rank = 2, 3
     ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
                            seed=31)
     params = leg.init_params(jax.random.key(0), rank=rank, obs_dim=d,
