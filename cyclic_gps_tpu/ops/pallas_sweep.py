@@ -188,6 +188,19 @@ def _sweep_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
 _CT = 512
 
 
+def _pad_jitter_ld(s, d, npad, jitter, dtype):
+    """Exact half-logdet contributed by the kernel-tile padding chunks
+    when ``jitter > 0``: each padded interior pivot block is exactly
+    (1 + jitter) I, so the correction is closed-form."""
+    if not jitter or not npad:
+        return jnp.zeros((), dtype)
+    import math
+
+    return jnp.asarray(
+        npad * (s - 1) * d * 0.5 * math.log1p(jitter), dtype
+    )
+
+
 @partial(jax.jit, static_argnames=("jitter",))
 def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
                          jitter: float = 0.0):
@@ -250,9 +263,11 @@ def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
         ],
     )(jit_arr, R_cm, O_cm, O_cm, y3)
     acc00, accy0, w0l, wl, dl, invdl, stats = outs
+    ld = jnp.sum(stats[:, 1]) - _pad_jitter_ld(s, d, cpad - c, jitter,
+                                               R_cm.dtype)
     return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
             dl[:, :, :c], invdl[:, 0, :c],
-            jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1]))
+            jnp.sum(stats[:, 0]), ld)
 
 
 # ---------------------------------------------------------------------------
@@ -388,9 +403,11 @@ def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
         ],
     )(jit_arr, R_cm, O_cm, O_cm, y3)
     (acc00, accy0, w0l, wl, dl, invdl, stats, hc, hw0, hw) = outs
+    ld = jnp.sum(stats[:, 1]) - _pad_jitter_ld(s, d, cpad - c, jitter,
+                                               R_cm.dtype)
     return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
             dl[:, :, :c], invdl[:, 0, :c],
-            jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1]),
+            jnp.sum(stats[:, 0]), ld,
             hc, hw0, hw[:, :, 0, :])
 
 

@@ -1,6 +1,8 @@
 """Benchmark family: block-tridiagonal solve + logdet at N = 1e6 for
 d = 3..10 (the BASELINE.md tracked metric family), plus the fused
-mahal+logdet and selected inversion.  One JSON line per measurement.
+mahal+logdet, on the engine's native chunk-major layout.  One JSON line
+per measurement.  On TPU both passes run as Pallas kernels
+(ops/pallas_sweep.py); pass --xla to time the XLA scan path instead.
 """
 
 import os as _os
@@ -10,6 +12,7 @@ _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), 
 
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -20,45 +23,67 @@ import jax.numpy as jnp
 from cyclic_gps_tpu.ops import partitioned as pt
 
 N = 1_000_000
-K = 8
+K = 50
 
 
-def make_system(n, d, dtype=np.float32, seed=0):
+def make_system_cm(n, d, dtype=np.float32, seed=0):
+    s = pt.default_chunk_len(n)
     rng = np.random.RandomState(seed)
+    c = -(-n // s)
+    m = c * s  # identity/zero padding to the chunk multiple is exact
     q = rng.randn(n, d, d).astype(dtype)
-    diag = q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d, dtype=dtype)
-    off = (rng.randn(n - 1, d, d) / d).astype(dtype)
-    v = rng.randn(n, d).astype(dtype)
-    return jnp.asarray(diag), jnp.asarray(off), jnp.asarray(v)
+    diag = np.broadcast_to(np.eye(d, dtype=dtype), (m, d, d)).copy()
+    diag[:n] = q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d, dtype=dtype)
+    off = np.zeros((m, d, d), dtype=dtype)
+    off[: n - 1] = (rng.randn(n - 1, d, d) / d).astype(dtype)
+    v = np.zeros((m, d), dtype=dtype)
+    v[:n] = rng.randn(n, d).astype(dtype)
+    R_cm = jnp.asarray(diag.reshape(c, s, d, d).transpose(1, 2, 3, 0))
+    O_cm = jnp.asarray(off.reshape(c, s, d, d).transpose(1, 2, 3, 0))
+    y_cm = jnp.asarray(v.reshape(c, s, d).transpose(1, 2, 0))
+    return R_cm, O_cm, y_cm
 
 
-def timeit(fn, diag, off, v):
+def timeit(fn, R, O, y):
     @jax.jit
-    def loop(dg, of, y, c):
+    def loop(R, O, y, c):
         def body(i, acc):
-            out = fn(dg * (c + 1e-9 * i.astype(dg.dtype)), of, y)
+            out = fn(R * (c + 1e-9 * i.astype(R.dtype)), O, y)
             leaves = jax.tree.leaves(out)
             return acc + sum(jnp.ravel(l)[0] for l in leaves)
-        return jax.lax.fori_loop(0, K, body, jnp.zeros((), dg.dtype))
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((), R.dtype))
 
-    float(loop(diag, off, v, 1.0))
+    float(loop(R, O, y, 1.0))
     times = []
     for i in range(3):
         t0 = time.time()
-        float(loop(diag, off, v, 1.0 + i * 1e-6))
+        float(loop(R, O, y, 1.0 + i * 1e-6))
         times.append((time.time() - t0) / K)
-    return float(np.min(times) * 1e3)
+    return float(np.median(times) * 1e3)
 
 
 def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    backend = "xla" if "--xla" in sys.argv else (
+        "pallas" if on_tpu else "xla")
     for d in range(3, 11):
-        diag, off, v = make_system(N, d)
-        ms = timeit(pt.solve_and_logdet, diag, off, v)
-        print(json.dumps({"metric": f"solve_logdet_n1e6_d{d}", "value": ms,
-                          "unit": "ms"}), flush=True)
-        ms2 = timeit(pt.mahal_and_logdet, diag, off, v)
-        print(json.dumps({"metric": f"mahal_logdet_n1e6_d{d}", "value": ms2,
-                          "unit": "ms"}), flush=True)
+        R, O, y = make_system_cm(N, d)
+        for name, fn in (
+            ("solve_logdet", lambda R, O, y: pt.solve_cm(
+                R, O, y, backend=backend)),
+            ("mahal_logdet", lambda R, O, y: pt.mahal_and_logdet_cm(
+                R, O, y, backend=backend)),
+        ):
+            try:
+                ms = timeit(fn, R, O, y)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(json.dumps({
+                    "metric": f"{name}_n1e6_d{d}", "backend": backend,
+                    "error": str(e)[:120]}), flush=True)
+                continue
+            print(json.dumps({
+                "metric": f"{name}_n1e6_d{d}", "value": round(ms, 3),
+                "unit": "ms", "backend": backend}), flush=True)
 
 
 if __name__ == "__main__":

@@ -39,8 +39,15 @@ def main(path):
                             lr=LR, log_every=200)
     train_loop.save_params("co2_leg_params.npz", result.params)
 
-    # interpolate the held-out gap and forecast 20 years (12*20 time units)
-    gap_ts = series.all_ts[262:502].astype(jnp.float32)
+    # interpolate the held-out gap and forecast 20 years (12*20 time
+    # units); on a short (sample) file the gap slice is empty, so fall
+    # back to a within-range probe grid
+    if series.all_ts.shape[0] > 502:
+        gap_ts = series.all_ts[262:502].astype(jnp.float32)
+        gap_truth = np.asarray(series.all_xs[262:502, 0])
+    else:
+        gap_ts = (train_ts[:-1] + 0.5 * (train_ts[1:] - train_ts[:-1]))
+        gap_truth = None
     fc_ts = jnp.linspace(
         float(series.all_ts[-1]), float(series.all_ts[-1]) + 12 * 20, 200
     ).astype(jnp.float32)
@@ -52,9 +59,10 @@ def main(path):
         result.params, train_ts, train_xs, fc_ts, include_obs_noise=True
     )
 
-    gap_truth = np.asarray(series.all_xs[262:502, 0])
-    rmse = float(np.sqrt(np.mean((np.asarray(gap_mean[:, 0]) - gap_truth) ** 2)))
-    print(f"gap interpolation RMSE (standardised units): {rmse:.4f}")
+    if gap_truth is not None:
+        rmse = float(np.sqrt(np.mean(
+            (np.asarray(gap_mean[:, 0]) - gap_truth) ** 2)))
+        print(f"gap interpolation RMSE (standardised units): {rmse:.4f}")
 
     try:
         import matplotlib

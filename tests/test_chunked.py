@@ -75,26 +75,57 @@ def test_transition_and_noise_large_gaps():
         assert np.abs(np.asarray(q[i]) - q_ref).max() / scale < 1e-9 or d < 1e-3
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu",
-                    reason="Pallas TPU kernel (interpreter mode lacks the "
-                           "needed primitives); verified on-device")
-def test_pallas_sweep_matches_scan():
-    """The Pallas forward sweep matches the scan sweep (TPU only)."""
-    from cyclic_gps_tpu.ops import pallas_sweep
-
-    d, s, n = 3, 8, 256
-    rng = np.random.RandomState(0)
+def _pallas_system(n, d, s, seed=0):
+    rng = np.random.RandomState(seed)
     q = rng.randn(n, d, d)
     diag = jnp.asarray(q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d))
     off = jnp.asarray(rng.randn(n - 1, d, d) / d)
     y = jnp.asarray(rng.randn(n, d))
-    R_cm, O_cm, y_cm, c = pt._chunk_layout(
+    return pt._chunk_layout(
         diag.astype(jnp.float32), off.astype(jnp.float32),
         y.astype(jnp.float32), s,
-    )
-    outs = pallas_sweep.forward_sweep_pallas(R_cm, O_cm, y_cm)
-    state, w1, _ = pt._forward_sweep(R_cm, O_cm, y_cm, 0.0, False)
+    )[:3]
+
+
+@pytest.mark.parametrize("jitter", [0.0, 1e-3])
+def test_pallas_sweep_matches_scan(jitter):
+    """The Pallas forward sweep (interpret mode in CI; same code path
+    compiles on TPU -- see PALLAS_TPU.md for the on-device artifact)
+    matches the XLA scan sweep, including the jitter path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cyclic_gps_tpu.ops import pallas_sweep
+
+    d, s, n = 3, 8, 256
+    R_cm, O_cm, y_cm = _pallas_system(n, d, s)
+    with pltpu.force_tpu_interpret_mode():
+        outs = pallas_sweep.forward_sweep_pallas(R_cm, O_cm, y_cm,
+                                                 jitter=jitter)
+    state, w1, _ = pt._forward_sweep(R_cm, O_cm, y_cm, jitter, None)
     np.testing.assert_allclose(np.asarray(outs[0]),
                                np.asarray(state.acc00), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs[2]),
+                               np.asarray(state.w0), atol=1e-4)
     np.testing.assert_allclose(float(outs[6]), float(state.mh), rtol=1e-5)
     np.testing.assert_allclose(float(outs[7]), float(state.ld), rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [256, 250])  # 250: chunk-pad + kernel-pad
+def test_pallas_solve_matches_xla(n):
+    """The full Pallas solve path (forward-with-collect kernel + reduced
+    solve + descending-step back-substitution kernel) matches the XLA
+    path, including non-chunk-aligned N (kernel-tile padding)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, s = 3, 8
+    R_cm, O_cm, y_cm = _pallas_system(n, d, s, seed=n)
+    with pltpu.force_tpu_interpret_mode():
+        x_p, ld_p = pt.solve_cm(R_cm, O_cm, y_cm, backend="pallas")
+        mh_p, ld2_p = pt.mahal_and_logdet_cm(R_cm, O_cm, y_cm,
+                                             backend="pallas")
+    x_x, ld_x = pt.solve_cm(R_cm, O_cm, y_cm)
+    mh_x, ld2_x = pt.mahal_and_logdet_cm(R_cm, O_cm, y_cm)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x), atol=1e-4)
+    np.testing.assert_allclose(float(ld_p), float(ld_x), rtol=1e-5)
+    np.testing.assert_allclose(float(mh_p), float(mh_x), rtol=1e-4)
+    np.testing.assert_allclose(float(ld2_p), float(ld2_x), rtol=1e-5)
