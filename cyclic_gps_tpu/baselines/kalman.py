@@ -26,6 +26,7 @@ kalman.py:10-12); the first step predicts before updating.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -59,11 +60,13 @@ class SSM(NamedTuple):
     r: Array  # [obs, obs] observation noise
 
 
+@partial(jax.jit, static_argnames=("use_approximation", "regular"))
 @_highest_precision
 def leg_to_ssm(
     params: leg.LEGParams,
     ts: Array,
     use_approximation: bool = False,
+    regular: bool = False,
 ) -> SSM:
     """SSM matrices for the LEG model on grid ``ts``.
 
@@ -71,9 +74,26 @@ def leg_to_ssm(
     dt = gap between the first two points, irrelevant for the exact branch
     where the predict from P0 = I lands back at the stationary I.
     Reference: kalman.py:7-27 with time_step = dt.
+
+    ``regular=True`` asserts a constant gap ts[1] - ts[0]: ONE matrix
+    exponential broadcast over the grid instead of T -- the dominant
+    setup cost of the smoother route at large T.
     """
     g = leg.g_matrix(params)
     rank = params.rank
+    t = ts.shape[0]
+    if regular:
+        dt = (ts[1] - ts[0])[None]
+        if use_approximation:
+            a1 = (jnp.eye(rank, dtype=g.dtype)[None]
+                  - 0.5 * dt[:, None, None] * g[None])
+            n_mat = leg.n_matrix(params)
+            q1 = dt[:, None, None] * (n_mat @ n_mat.T)[None]
+        else:
+            a1, q1 = leg.transition_and_noise(g, dt)
+        a = jnp.broadcast_to(a1, (t, rank, rank))
+        q = jnp.broadcast_to(q1, (t, rank, rank))
+        return SSM(a, q, params.b, leg.lambda_lambda_t(params))
     diffs = ts[1:] - ts[:-1]
     diffs = jnp.concatenate([diffs[:1], diffs])  # [T]
     if use_approximation:

@@ -494,10 +494,11 @@ def _k_system_chunked(params: LEGParams, ts: Array, xs: Array, s: int,
     return k_cm, off_cm, v_cm, sig_logdet
 
 
-@partial(jax.jit, static_argnames=("regular",))
+@partial(jax.jit, static_argnames=("regular", "backend"))
 @_highest_precision
 def log_likelihood(
-    params: LEGParams, ts: Array, xs: Array, regular: bool = False
+    params: LEGParams, ts: Array, xs: Array, regular: bool = False,
+    backend: str = "auto",
 ) -> Array:
     """Marginal log-likelihood log p(x | ts, params) in O(N) via CR.
 
@@ -509,6 +510,9 @@ def log_likelihood(
 
     ``regular=True`` asserts the grid has a constant gap (ts[1] - ts[0]),
     replacing N-1 matrix exponentials with one -- a large-N fast path.
+    ``backend``: solver backend for the large-N path ("auto" = Pallas
+    kernels on TPU, XLA scan on CPU; differentiable either way via the
+    analytic VJP).  Pass "xla" explicitly under GSPMD auto-sharding.
     """
     llt = lambda_lambda_t(params)
     g = g_matrix(params)
@@ -527,7 +531,8 @@ def log_likelihood(
         k_cm, o_cm, v_cm, sig_inv_logdet = _k_system_chunked(
             params, ts, xs, s, regular
         )
-        k_mahal, k_logdet = pt.mahal_and_logdet_cm(k_cm, o_cm, v_cm)
+        k_mahal, k_logdet = pt.mahal_and_logdet_cm(k_cm, o_cm, v_cm,
+                                                   backend=backend)
     else:
         v = x_llt_inv @ params.b  # [N, rank]
         if regular:
@@ -607,7 +612,7 @@ def posterior_mean(
     if _resolve_posterior_method(method, ts.dtype) == "smoother":
         from cyclic_gps_tpu.baselines import kalman
 
-        ssm = kalman.leg_to_ssm(params, ts)
+        ssm = kalman.leg_to_ssm(params, ts, regular=regular)
         return kalman.smooth_parallel(ssm, xs)[0]
     n = ts.shape[0]
     s = pt.default_chunk_len(n)
@@ -615,7 +620,7 @@ def posterior_mean(
         k_diag, k_off = posterior_precision(params, ts)
         return pt.solve(k_diag, k_off, compute_v(params, xs))
     k_cm, o_cm, v_cm, _ = _k_system_chunked(params, ts, xs, s, regular)
-    x_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm)
+    x_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm, backend="auto")
     return x_pad[:n]
 
 
@@ -643,7 +648,7 @@ def insample_posterior(
     if _resolve_posterior_method(method, ts.dtype) == "smoother":
         from cyclic_gps_tpu.baselines import kalman
 
-        ssm = kalman.leg_to_ssm(params, ts)
+        ssm = kalman.leg_to_ssm(params, ts, regular=regular)
         return kalman.smooth_parallel_full(ssm, xs)
     s = pt.default_chunk_len(n)
     if n < max(pt._TERMINAL, 2 * s):
@@ -652,8 +657,9 @@ def insample_posterior(
         cov_diag, cov_off = pt.inverse_blocks(k_diag, k_off)
         return mean, cov_diag, cov_off
     k_cm, o_cm, v_cm, _ = _k_system_chunked(params, ts, xs, s, regular)
-    mean_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm)
-    cov_diag_pad, cov_off_pad = pt.inverse_blocks_cm(k_cm, o_cm)
+    mean_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm, backend="auto")
+    cov_diag_pad, cov_off_pad = pt.inverse_blocks_cm(k_cm, o_cm,
+                                                     backend="auto")
     return mean_pad[:n], cov_diag_pad[:n], cov_off_pad[: n - 1]
 
 

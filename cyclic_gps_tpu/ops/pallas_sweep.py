@@ -412,6 +412,211 @@ def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
 
 
 # ---------------------------------------------------------------------------
+# Forward sweep with RAW factor collection + Takahashi backward kernel:
+# the selected-inversion path (partitioned._inverse_from_cm).
+# ---------------------------------------------------------------------------
+
+
+def _sweep_inverse_collect_kernel(jit_ref, r_ref, o_ref, o0_ref,
+                                  acc00_ref, w0l_ref, dl_ref, invdl_ref,
+                                  d_ref, invd_ref, c_ref, w0_ref,
+                                  cprev_s, w0_s, acc00_s):
+    """Forward elimination streaming the RAW per-step factors
+    (D, invd, C, W0) needed by the Takahashi recursion (no RHS)."""
+    j = pl.program_id(1)
+    d = r_ref.shape[1]
+    jit_eye = jit_ref[0, 0] * jnp.eye(d, dtype=r_ref.dtype)[:, :, None]
+    r_j = r_ref[0] + jit_eye
+    o_j = o_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        D, invd, _ = _chol(r_j)
+        w0 = _solve_lower(D, invd, o0_ref[0])
+        cnew = _swap(_solve_lower(D, invd, _swap(o_j)))
+        cprev_s[:] = cnew
+        w0_s[:] = w0
+        acc00_s[:] = _mm(w0, w0, ta=True)
+        dl_ref[:] = D
+        invdl_ref[:] = invd
+        d_ref[0] = D
+        invd_ref[0] = invd
+        c_ref[0] = cnew
+        w0_ref[0] = w0
+
+    @pl.when(j > 0)
+    def _():
+        cp = cprev_s[:]
+        p = r_j - _mm(cp, cp, tb=True)
+        D, invd, _ = _chol(p)
+        w0 = -_solve_lower(D, invd, _mm(cp, w0_s[:]))
+        cnew = _swap(_solve_lower(D, invd, _swap(o_j)))
+        cprev_s[:] = cnew
+        w0_s[:] = w0
+        acc00_s[:] = acc00_s[:] + _mm(w0, w0, ta=True)
+        dl_ref[:] = D
+        invdl_ref[:] = invd
+        d_ref[0] = D
+        invd_ref[0] = invd
+        c_ref[0] = cnew
+        w0_ref[0] = w0
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc00_ref[:] = acc00_s[:]
+        w0l_ref[:] = w0_s[:]
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_inverse_pallas(R_cm: Array, O_cm: Array,
+                                 jitter: float = 0.0):
+    """Forward sweep for the selected-inversion path: returns
+    (acc00, w0_last, d_last, invd_last  -- sliced to the true C --
+     ds, invds, cs, w0s  -- per-step stacks, kernel-tile padded)."""
+    s, d, _, c0 = R_cm.shape
+    y_dummy = jnp.zeros((s, d, c0), dtype=R_cm.dtype)
+    R_cm, O_cm, _, c = _pad_chunks(R_cm, O_cm, y_dummy, _CT)
+    s, d, _, cpad = R_cm.shape
+    ct = min(_CT, cpad)
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R_cm.dtype)
+    mat = jax.ShapeDtypeStruct((d, d, cpad), R_cm.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R_cm.dtype)
+    smat = jax.ShapeDtypeStruct((s - 1, d, d, cpad), R_cm.dtype)
+    svec = jax.ShapeDtypeStruct((s - 1, d, 1, cpad), R_cm.dtype)
+    small = pl.BlockSpec((d, d, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    smallv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    step = pl.BlockSpec((1, d, d, ct), lambda t, j: (j, 0, 0, t),
+                        memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _sweep_inverse_collect_kernel,
+        grid=(nct, s - 1),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (0, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[small, small, small, smallv, step, stepv, step, step],
+        out_shape=[mat, mat, mat, vec, smat, svec, smat, smat],
+        scratch_shapes=[
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+        ],
+    )(jit_arr, R_cm, O_cm, O_cm)
+    acc00, w0l, dl, invdl, ds, invds, cs, w0s = outs
+    return (acc00[:, :, :c], w0l[:, :, :c], dl[:, :, :c], invdl[:, 0, :c],
+            ds, invds, cs, w0s)
+
+
+def _takahashi_kernel(d_ref, invd_ref, c_ref, w0_ref,
+                      p00_ref, p01_ref, p10_ref, p11_ref,
+                      phi0_ref, u00_ref, u10_ref, a00_ref, a10_ref,
+                      diag_ref, off_ref, u0f_ref, u1f_ref,
+                      phi_s, u0_s, u1_s, a0_s, a1_s):
+    """One Takahashi step on a chunk tile (grid walks steps DESCENDING):
+
+      di = D^{-1};  cd = C di
+      Phi_off = -Phi_{j+1} cd
+      Phi_j = di^T di + cd^T Phi_{j+1} cd
+      u0_j = D^{-T} (W0_j - C^T u0_{j+1});  u1_j = -D^{-T} C^T u1_{j+1}
+      a._j = Sigma_BB rows applied to u._j
+      diag_j = Phi_j + u0_j a0_j + u1_j a1_j
+      off_j  = Phi_off + u0_{j+1} a0_j + u1_{j+1} a1_j
+
+    Carries (Phi, u0, u1, a0, a1) live in VMEM scratch, seeded from the
+    XLA-computed j = s-1 values at the first grid step.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        phi_s[:] = phi0_ref[:]
+        u0_s[:] = u00_ref[:]
+        u1_s[:] = u10_ref[:]
+        a0_s[:] = a00_ref[:]
+        a1_s[:] = a10_ref[:]
+
+    d_j = d_ref[0]
+    invd_j = invd_ref[0]
+    c_j = c_ref[0]
+    w0_j = w0_ref[0]
+    phi_n, u0_n, u1_n = phi_s[:], u0_s[:], u1_s[:]
+
+    # anchor the identity RHS to kernel data: a constant-only RHS into
+    # the masked substitution sweep crashes Mosaic's vector layout pass
+    # (Check failed: limits[i] <= dim(i) in vector_extract_slice);
+    # `d_j * 0.0` keeps the value dependency that prevents the bad fold
+    eye = d_j * 0.0 + jnp.eye(d_j.shape[0], dtype=d_j.dtype)[:, :, None]
+    di = _solve_lower(d_j, invd_j, eye)
+    cd = _mm(c_j, di)
+    phi_off = -_mm(phi_n, cd)
+    phi_j = _mm(di, di, ta=True) + _mm(_mm(cd, phi_n, ta=True), cd)
+    u0_j = _solve_lower_t(d_j, invd_j, w0_j - _mm(c_j, u0_n, ta=True))
+    u1_j = -_solve_lower_t(d_j, invd_j, _mm(c_j, u1_n, ta=True))
+    a0_j = _mm(p00_ref[:], u0_j, tb=True) + _mm(p01_ref[:], u1_j, tb=True)
+    a1_j = _mm(p10_ref[:], u0_j, tb=True) + _mm(p11_ref[:], u1_j, tb=True)
+    diag_ref[0] = phi_j + _mm(u0_j, a0_j) + _mm(u1_j, a1_j)
+    off_ref[0] = phi_off + _mm(u0_n, a0_j) + _mm(u1_n, a1_j)
+
+    phi_s[:] = phi_j
+    u0_s[:] = u0_j
+    u1_s[:] = u1_j
+    a0_s[:] = a0_j
+    a1_s[:] = a1_j
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        u0f_ref[:] = u0_s[:]
+        u1f_ref[:] = u1_s[:]
+
+
+@jax.jit
+def takahashi_backward_pallas(ds, invds, cs, w0s,
+                              p00, p01, p10, p11,
+                              phi0, u00, u10, a00, a10):
+    """Takahashi recursion over interior steps j = s-2 .. 1 as one Pallas
+    kernel.  Per-step stacks are kernel-tile padded [s-1, d, ., cpad]
+    (rows 0..s-3 consumed, descending); the chunk-level inputs
+    (p00..a10) must be padded to the same width.  Returns
+    (diag rows [s-2, d, d, cpad], off rows [s-2, d, d, cpad],
+    u0_final, u1_final [d, d, cpad])."""
+    sm1, d, _, cpad = ds.shape
+    ct = min(_CT, cpad)
+    nct = cpad // ct
+    s3 = sm1 - 2  # grid step j reads stacked row (s3 - j): s-3 .. 0
+    step = pl.BlockSpec((1, d, d, ct), lambda t, j: (s3 - j, 0, 0, t),
+                        memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (s3 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((d, d, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    smat = jax.ShapeDtypeStruct((sm1 - 1, d, d, cpad), ds.dtype)
+    mat = jax.ShapeDtypeStruct((d, d, cpad), ds.dtype)
+    outs = pl.pallas_call(
+        _takahashi_kernel,
+        grid=(nct, sm1 - 1),
+        in_specs=[step, stepv, step, step,
+                  small, small, small, small,
+                  small, small, small, small, small],
+        out_specs=[step, step, small, small],
+        out_shape=[smat, smat, mat, mat],
+        scratch_shapes=[pltpu.VMEM((d, d, ct), ds.dtype)
+                        for _ in range(5)],
+    )(ds, invds, cs, w0s, p00, p01, p10, p11, phi0, u00, u10, a00, a10)
+    return outs
+
+
+# ---------------------------------------------------------------------------
 # Backward substitution kernel: the solve path's second pass.
 # ---------------------------------------------------------------------------
 

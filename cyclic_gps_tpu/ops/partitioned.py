@@ -260,17 +260,16 @@ def mahal_and_logdet(
     return _mahal_and_logdet_impl(diag, off, y, s, jitter)
 
 
-def mahal_and_logdet_cm(R_cm: Array, O_cm: Array, y_cm: Array,
-                        jitter: float = 0.0,
-                        backend: str = "xla") -> Tuple[Array, Array]:
-    """Fused (y^T J^{-1} y, log|J|) on ALREADY chunk-major inputs
-    (R_cm/O_cm [s, d, d, C], y_cm [s, d, C], trailing-zero O invariant,
-    identity/zero padding for any tail).  Producers that construct the
-    blocks elementwise (e.g. the LEG precision) emit this layout for free,
-    skipping the [N, d, d] -> chunk-major relayout passes entirely.
+def resolve_backend(backend: str) -> str:
+    """"auto" picks the Pallas kernels on TPU-like devices, the XLA scan
+    path on CPU (tests / oracles).  Single-chip only: under GSPMD
+    auto-sharding prefer explicit backend="xla"."""
+    if backend != "auto":
+        return backend
+    return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
 
-    ``backend="pallas"`` runs the forward sweep as one fused Pallas TPU
-    kernel (ops/pallas_sweep.py; forward-only, jitter ignored)."""
+
+def _mahal_cm_primal(R_cm, O_cm, y_cm, jitter, backend):
     c = R_cm.shape[-1]
     s = R_cm.shape[0]
     if backend == "pallas":
@@ -292,6 +291,68 @@ def mahal_and_logdet_cm(R_cm: Array, O_cm: Array, y_cm: Array,
         jitter,
     )
     return state.mh + red_mh, 2.0 * state.ld + red_ld
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mahal_cm(R_cm, O_cm, y_cm, jitter, backend):
+    return _mahal_cm_primal(R_cm, O_cm, y_cm, jitter, backend)
+
+
+def _mahal_cm_fwd(R_cm, O_cm, y_cm, jitter, backend):
+    out = _mahal_cm_primal(R_cm, O_cm, y_cm, jitter, backend)
+    return out, (R_cm, O_cm, y_cm)
+
+
+def _mahal_cm_bwd(jitter, backend, res, cots):
+    """Analytic adjoint (O(1) stored state: residuals are the inputs).
+
+    With x = J^{-1} y, Sigma = J^{-1} (selected blocks):
+      d(mh)/dR_i = -x_i x_i^T     d(mh)/dO_i = -2 x_{i+1} x_i^T
+      d(ld)/dR_i = Sigma_ii       d(ld)/dO_i = 2 Sigma_{i+1,i}
+      d(mh)/dy   = 2 x
+    The backward is one partitioned solve + one selected inversion --
+    instead of autodiff through the scan (which stores every step's
+    factorization).  This also makes the non-differentiable Pallas
+    forward kernel usable under `grad`.
+    """
+    R_cm, O_cm, y_cm = res
+    gm, gl = cots
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    x_pad, _ = _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend)  # [C*s, d]
+    sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
+    xo = x_pad[:, :, None] * x_pad[:, None, :]
+    x_next = jnp.concatenate(
+        [x_pad[1:], jnp.zeros((1, d), x_pad.dtype)], axis=0
+    )
+    xo_off = x_next[:, :, None] * x_pad[:, None, :]  # x_{i+1} x_i^T
+    g_diag = gl * sig_diag - gm * xo
+    g_off = 2.0 * (gl * sig_off - gm * xo_off)
+    g_y = 2.0 * gm * x_pad
+    g_R = jnp.transpose(g_diag.reshape(c, s, d, d), (1, 2, 3, 0))
+    g_O = jnp.transpose(g_off.reshape(c, s, d, d), (1, 2, 3, 0))
+    g_yc = jnp.transpose(g_y.reshape(c, s, d), (1, 2, 0))
+    return g_R, g_O, g_yc
+
+
+_mahal_cm.defvjp(_mahal_cm_fwd, _mahal_cm_bwd)
+
+
+def mahal_and_logdet_cm(R_cm: Array, O_cm: Array, y_cm: Array,
+                        jitter: float = 0.0,
+                        backend: str = "xla") -> Tuple[Array, Array]:
+    """Fused (y^T J^{-1} y, log|J|) on ALREADY chunk-major inputs
+    (R_cm/O_cm [s, d, d, C], y_cm [s, d, C], trailing-zero O invariant,
+    identity/zero padding for any tail).  Producers that construct the
+    blocks elementwise (e.g. the LEG precision) emit this layout for free,
+    skipping the [N, d, d] -> chunk-major relayout passes entirely.
+
+    ``backend``: "xla" (lax.scan sweep), "pallas" (fused TPU kernels,
+    ~1.7x faster on-device -- PALLAS_TPU.md) or "auto" (pallas on TPU).
+    Differentiable under every backend via an analytic custom VJP
+    (`_mahal_cm_bwd`: one solve + one selected inversion, O(1) stored
+    state)."""
+    return _mahal_cm(R_cm, O_cm, y_cm, jitter, resolve_backend(backend))
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))
@@ -411,13 +472,57 @@ def solve(
     return _solve_impl(diag, off, y, s, jitter)[0]
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _solve_cm(R_cm, O_cm, y_cm, jitter, backend):
+    return _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend)
+
+
+def _solve_cm_fwd(R_cm, O_cm, y_cm, jitter, backend):
+    x_nat, ld = _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend)
+    return (x_nat, ld), (R_cm, O_cm, y_cm, x_nat)
+
+
+def _solve_cm_bwd(jitter, backend, res, cots):
+    """Analytic adjoint of (x, ld) = (J^{-1} y, log|J|):
+
+      g_y      = J^{-1} gx                     (one more solve)
+      g_diag_i = gl Sigma_ii - u_i x_i^T       (u = J^{-1} gx)
+      g_off_i  = 2 gl Sigma_{i+1,i} - u_{i+1} x_i^T - x_{i+1} u_i^T
+    """
+    R_cm, O_cm, y_cm, x_nat = res
+    gx, gl = cots
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    gx_cm = jnp.transpose(gx.reshape(c, s, d), (1, 2, 0))
+    u_nat, _ = _solve_from_cm(R_cm, O_cm, gx_cm, jitter, backend)
+    sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
+    zrow = jnp.zeros((1, d), x_nat.dtype)
+    x_next = jnp.concatenate([x_nat[1:], zrow], axis=0)
+    u_next = jnp.concatenate([u_nat[1:], zrow], axis=0)
+    g_diag = gl * sig_diag - u_nat[:, :, None] * x_nat[:, None, :]
+    g_off = (
+        2.0 * gl * sig_off
+        - u_next[:, :, None] * x_nat[:, None, :]
+        - x_next[:, :, None] * u_nat[:, None, :]
+    )
+    g_y = u_nat
+    g_R = jnp.transpose(g_diag.reshape(c, s, d, d), (1, 2, 3, 0))
+    g_O = jnp.transpose(g_off.reshape(c, s, d, d), (1, 2, 3, 0))
+    g_yc = jnp.transpose(g_y.reshape(c, s, d), (1, 2, 0))
+    return g_R, g_O, g_yc
+
+
+_solve_cm.defvjp(_solve_cm_fwd, _solve_cm_bwd)
+
+
 def solve_cm(R_cm: Array, O_cm: Array, y_cm: Array,
              jitter: float = 0.0,
              backend: str = "xla") -> Tuple[Array, Array]:
     """(J^{-1} y [C*s, d] padded natural order, log|J|) on chunk-major
-    inputs (see mahal_and_logdet_cm).  ``backend="pallas"`` runs the
-    back-substitution as a Pallas TPU kernel (descending-step DMA)."""
-    return _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend)
+    inputs (see mahal_and_logdet_cm).  ``backend="pallas"`` (or "auto"
+    on TPU) runs both passes as Pallas kernels.  Differentiable under
+    every backend via an analytic custom VJP (`_solve_cm_bwd`)."""
+    return _solve_cm(R_cm, O_cm, y_cm, jitter, resolve_backend(backend))
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))
@@ -464,11 +569,17 @@ def _inverse_impl(diag, off, s, jitter):
     return diag_nat[:n], off_nat[: n - 1]
 
 
-def _inverse_from_cm(R_cm, O_cm, jitter):
+def _inverse_from_cm(R_cm, O_cm, jitter, backend: str = "xla"):
     """Selected inverse on chunk-major inputs; returns padded
-    natural-order (diag [C*s, d, d], off [C*s, d, d])."""
+    natural-order (diag [C*s, d, d], off [C*s, d, d]).
+
+    ``backend="pallas"`` runs the forward elimination (raw-factor
+    collection) and the Takahashi backward recursion as Pallas kernels
+    (ops/pallas_sweep.py)."""
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
+    if backend == "pallas" and s >= 3:
+        return _inverse_from_cm_pallas(R_cm, O_cm, jitter)
     y_cm = jnp.zeros((s, d, c), dtype=R_cm.dtype)
     state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
                                         collect="inverse")
@@ -556,11 +667,95 @@ def _inverse_from_cm(R_cm, O_cm, jitter):
     return diag_nat, off_nat
 
 
+def _inverse_from_cm_pallas(R_cm, O_cm, jitter):
+    """Pallas two-kernel selected inversion: forward raw-factor sweep +
+    Takahashi backward recursion (kernels in ops/pallas_sweep.py); the
+    small reduced boundary system and the per-chunk edge rows stay XLA.
+    """
+    from cyclic_gps_tpu.ops import pallas_sweep as ps
+
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    (acc00, w0l, dl, invdl,
+     ds, invds, cs_, w0s) = ps.forward_sweep_inverse_pallas(
+        R_cm, O_cm, jitter=jitter)
+    cpad = ds.shape[-1]
+    w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+    s11 = sb.matmul(w1, w1, ta=True)
+    red_diag = R_cm[0] - acc00 - sb.shift_down(s11)
+    red_off = -sb.matmul(w1, w0l, ta=True)
+
+    bb_diag, bb_off = _inverse_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1], None, jitter
+    )
+    p00 = sb.to_em(bb_diag)
+    p10 = jnp.concatenate(
+        [sb.to_em(bb_off), jnp.zeros((d, d, 1), dtype=R_cm.dtype)], axis=-1
+    )
+    p11 = sb.shift_up(p00)
+    p01 = sb.transpose(p10)
+
+    def sigma_bb_ut(u0, u1):
+        a0 = sb.matmul(p00, u0, tb=True) + sb.matmul(p01, u1, tb=True)
+        a1 = sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+        return a0, a1
+
+    # init at j = s-1 (true-C width, then padded for the kernel)
+    di_last = sb.tri_lower_inverse(dl, invdl)
+    phi = sb.matmul(di_last, di_last, ta=True)
+    u0 = sb.solve_lower_t(dl, invdl, w0l)
+    u1 = sb.solve_lower_t(dl, invdl, w1)
+    a0, a1 = sigma_bb_ut(u0, u1)
+    diag_last = phi + sb.matmul(u0, a0) + sb.matmul(u1, a1)
+    off_edge_right = -(
+        sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+    )
+
+    def pad_eye(a):
+        if cpad == c:
+            return a
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=a.dtype)[:, :, None], (d, d, cpad - c)
+        )
+        return jnp.concatenate([a, eye], axis=-1)
+
+    def pad_zero(a):
+        if cpad == c:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((d, d, cpad - c), dtype=a.dtype)], axis=-1
+        )
+
+    diag_mid_p, off_mid_p, u0f, u1f = ps.takahashi_backward_pallas(
+        ds, invds, cs_, w0s,
+        pad_eye(p00), pad_zero(p01), pad_zero(p10), pad_eye(p11),
+        pad_eye(phi), pad_zero(u0), pad_zero(u1),
+        pad_zero(a0), pad_zero(a1),
+    )
+    diag_mid = diag_mid_p[:, :, :, :c]
+    off_mid = off_mid_p[:, :, :, :c]
+    u0f, u1f = u0f[:, :, :c], u1f[:, :, :c]
+
+    diag_int = jnp.concatenate([diag_mid, diag_last[None]], axis=0)
+    off_int = off_mid
+    off_edge_left = -(sb.matmul(u0f, p00) + sb.matmul(u1f, p10))
+
+    diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
+    off_cm = jnp.concatenate(
+        [off_edge_left[None], off_int, off_edge_right[None]], axis=0
+    )
+    diag_nat = jnp.transpose(diag_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    off_nat = jnp.transpose(off_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    return diag_nat, off_nat
+
+
 def inverse_blocks_cm(R_cm: Array, O_cm: Array,
-                      jitter: float = 0.0) -> Tuple[Array, Array]:
+                      jitter: float = 0.0,
+                      backend: str = "xla") -> Tuple[Array, Array]:
     """Selected inverse on chunk-major inputs; padded natural order
-    ([C*s, d, d], [C*s, d, d]; the caller slices to [:n] / [:n-1])."""
-    return _inverse_from_cm(R_cm, O_cm, jitter)
+    ([C*s, d, d], [C*s, d, d]; the caller slices to [:n] / [:n-1]).
+    ``backend``: "xla", "pallas", or "auto" (pallas on TPU)."""
+    return _inverse_from_cm(R_cm, O_cm, jitter, resolve_backend(backend))
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))

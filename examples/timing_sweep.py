@@ -33,6 +33,7 @@ RANK = 2
 OBS_DIM = 2
 SIZES = [10**2, 10**4, 10**6, 10**7]
 KF_MAX = 10**4  # sequential/parallel smoother comparison sizes
+SMOOTHER_MAX = 10**6  # f32 smoother-route posterior (OOMs beyond)
 DTYPE = jnp.float32
 
 
@@ -44,10 +45,22 @@ def main():
         xs = 0.5 * jax.random.normal(jax.random.key(2), (n, OBS_DIM),
                                      dtype=DTYPE)
         results = {}
+        # the partitioned-engine route (f64's default; at f32 it is the
+        # raw engine benchmark -- production f32 "auto" routes through the
+        # smoother, timed separately below)
         results["pt_posterior_mean"] = timed(
-            lambda x: leg.posterior_mean(params, ts, x, regular=True), xs,
+            lambda x: leg.posterior_mean(params, ts, x, regular=True,
+                                         method="precision"), xs,
             iters=5,
         )
+        if n <= SMOOTHER_MAX:
+            # the associative-scan smoother holds ~10 [r, r, N] work
+            # arrays; beyond ~1e6 the compiler's HBM plan overflows
+            results["smoother_posterior_mean"] = timed(
+                lambda x: leg.posterior_mean(params, ts, x, regular=True,
+                                             method="smoother"), xs,
+                iters=5,
+            )
         results["pt_loglik"] = timed(
             lambda x: leg.log_likelihood(params, ts, x, regular=True), xs,
             iters=5,

@@ -129,3 +129,20 @@ def test_pallas_solve_matches_xla(n):
     np.testing.assert_allclose(float(ld_p), float(ld_x), rtol=1e-5)
     np.testing.assert_allclose(float(mh_p), float(mh_x), rtol=1e-4)
     np.testing.assert_allclose(float(ld2_p), float(ld2_x), rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [256, 250])
+def test_pallas_selected_inversion_matches_xla(n):
+    """The Pallas selected-inversion path (raw-factor forward sweep +
+    Takahashi backward kernel) matches the XLA path, including
+    non-chunk-aligned N."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, s = 3, 8
+    R_cm, O_cm, _ = _pallas_system(n, d, s, seed=n + 1)
+    with pltpu.force_tpu_interpret_mode():
+        dp, op_ = pt.inverse_blocks_cm(R_cm, O_cm, backend="pallas")
+    dx, ox = pt.inverse_blocks_cm(R_cm, O_cm)
+    # f32 fixtures; the f64 interpret-mode parity is exact (~1e-16)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(op_), np.asarray(ox), atol=1e-6)
