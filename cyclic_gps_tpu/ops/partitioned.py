@@ -244,20 +244,29 @@ def _mahal_and_logdet_impl(diag, off, y, s, jitter):
     return state.mh + red_mh, 2.0 * state.ld + red_ld
 
 
-@partial(jax.jit, static_argnames=("s", "jitter"))
+@partial(jax.jit, static_argnames=("s", "jitter", "backend"))
 def mahal_and_logdet(
     diag: Array,
     off: Array,
     y: Array,
     s: Optional[int] = None,
     jitter: float = 0.0,
+    backend: str = "auto",
 ) -> Tuple[Array, Array]:
     """Fused (y^T J^{-1} y, log|J|) via partitioned elimination.
 
     Matches cr.mahal_and_logdet exactly (tests/test_partitioned.py); a
     chain of streaming passes, each shrinking N by the chunk length.
+    The top level routes through the chunk-major entry (custom VJP +
+    Pallas kernels on TPU via ``backend="auto"``); the recursion tail
+    stays on the XLA scan.
     """
-    return _mahal_and_logdet_impl(diag, off, y, s, jitter)
+    n = diag.shape[0]
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        return cr.mahal_and_logdet(diag, off, y, jitter=jitter)
+    R_cm, O_cm, y_cm, _ = _chunk_layout(diag, off, y, s)
+    return mahal_and_logdet_cm(R_cm, O_cm, y_cm, jitter, backend)
 
 
 def resolve_backend(backend: str) -> str:
@@ -459,17 +468,19 @@ def _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
     return x_nat, 2.0 * state.ld + red_ld
 
 
-@partial(jax.jit, static_argnames=("s", "jitter"))
+@partial(jax.jit, static_argnames=("s", "jitter", "backend"))
 def solve(
     diag: Array,
     off: Array,
     y: Array,
     s: Optional[int] = None,
     jitter: float = 0.0,
+    backend: str = "auto",
 ) -> Array:
     """J^{-1} y: recursive partitioned elimination + chain
     back-substitution."""
-    return _solve_impl(diag, off, y, s, jitter)[0]
+    return solve_and_logdet(diag, off, y, s=s, jitter=jitter,
+                            backend=backend)[0]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -525,17 +536,26 @@ def solve_cm(R_cm: Array, O_cm: Array, y_cm: Array,
     return _solve_cm(R_cm, O_cm, y_cm, jitter, resolve_backend(backend))
 
 
-@partial(jax.jit, static_argnames=("s", "jitter"))
+@partial(jax.jit, static_argnames=("s", "jitter", "backend"))
 def solve_and_logdet(
     diag: Array,
     off: Array,
     y: Array,
     s: Optional[int] = None,
     jitter: float = 0.0,
+    backend: str = "auto",
 ) -> Tuple[Array, Array]:
     """(J^{-1} y, log|J|) in a single forward sweep + back-substitution --
-    the headline benchmark op (BASELINE.md)."""
-    return _solve_impl(diag, off, y, s, jitter)
+    the headline benchmark op (BASELINE.md).  Top level routes through
+    the chunk-major entry (custom VJP; Pallas kernels on TPU)."""
+    n, d = y.shape
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        decomp = cr.decompose(diag, off, jitter=jitter)
+        return cr.solve(decomp, y), cr.logdet(decomp)
+    R_cm, O_cm, y_cm, _ = _chunk_layout(diag, off, y, s)
+    x_pad, ld = solve_cm(R_cm, O_cm, y_cm, jitter, backend)
+    return x_pad[:n], ld
 
 
 # ---------------------------------------------------------------------------
@@ -758,15 +778,25 @@ def inverse_blocks_cm(R_cm: Array, O_cm: Array,
     return _inverse_from_cm(R_cm, O_cm, jitter, resolve_backend(backend))
 
 
-@partial(jax.jit, static_argnames=("s", "jitter"))
+@partial(jax.jit, static_argnames=("s", "jitter", "backend"))
 def inverse_blocks(
     diag: Array,
     off: Array,
     s: Optional[int] = None,
     jitter: float = 0.0,
+    backend: str = "auto",
 ) -> Tuple[Array, Array]:
     """Diagonal and lower off-diagonal blocks of J^{-1} (selected
     inversion) via recursive partitioned elimination.  Matches
     cr.inverse_blocks (tests/test_partitioned.py); O(1) program size and
-    one streaming pass per recursion level."""
-    return _inverse_impl(diag, off, s, jitter)
+    one streaming pass per recursion level.  Top level routes through
+    the chunk-major entry (Pallas Takahashi kernels on TPU)."""
+    n, d, _ = diag.shape
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        dec = cr.decompose(diag, off, jitter=jitter)
+        return cr.inverse_blocks(dec)
+    R_cm, O_cm, _, _ = _chunk_layout(diag, off, None, s)
+    diag_nat, off_nat = _inverse_from_cm(R_cm, O_cm, jitter,
+                                         resolve_backend(backend))
+    return diag_nat[:n], off_nat[: n - 1]

@@ -86,6 +86,13 @@ def test_gradients_match_cr_engine():
 
     g_pt = jax.grad(f_pt, argnums=(0, 1, 2))(diag, off, v)
     g_cr = jax.grad(f_cr, argnums=(0, 1, 2))(diag, off, v)
-    for a, b in zip(g_pt, g_cr):
+    # the partitioned entry now carries the analytic custom VJP, whose
+    # diag-block gradient is the canonical SYMMETRIC one; CR autodiff
+    # reads only the lower triangle.  They agree as functionals on
+    # symmetric perturbations, i.e. after symmetrisation.
+    sym = lambda a: 0.5 * (a + np.swapaxes(np.asarray(a), -1, -2))
+    np.testing.assert_allclose(sym(g_pt[0]), sym(g_cr[0]),
+                               rtol=1e-9, atol=1e-11)
+    for a, b in zip(g_pt[1:], g_cr[1:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-11)

@@ -138,7 +138,8 @@ def test_mahal_cm_custom_vjp_matches_autodiff():
         return 0.7 * mh + 1.3 * ld
 
     def via_scan(diag, off, y):
-        mh, ld = pt.mahal_and_logdet(diag, off, y, s=s)
+        # raw scan-engine recursion (no custom VJP): the autodiff oracle
+        mh, ld = pt._mahal_and_logdet_impl(diag, off, y, s, 0.0)
         return 0.7 * mh + 1.3 * ld
 
     g_cm = jax.grad(via_cm, argnums=(0, 1, 2))(diag, off, y)
@@ -176,7 +177,8 @@ def test_solve_cm_custom_vjp_matches_autodiff():
         return jnp.sum(w * x[:n]) + 1.3 * ld
 
     def via_scan(diag, off, y):
-        x, ld = pt.solve_and_logdet(diag, off, y, s=s)
+        # raw scan-engine recursion (no custom VJP): the autodiff oracle
+        x, ld = pt._solve_impl(diag, off, y, s, 0.0)
         return jnp.sum(w * x) + 1.3 * ld
 
     g_cm = jax.grad(via_cm, argnums=(0, 1, 2))(diag, off, y)
