@@ -379,6 +379,221 @@ def smooth_parallel_full(ssm: SSM, xs: Array) -> Tuple[Array, Array, Array]:
     return (sb.vec_from_em(means), sb.from_em(covs), sb.from_em(cross))
 
 
+# ---------------------------------------------------------------------------
+# Blocked (memory-bounded) parallel filtering and smoothing: the
+# associative-scan internals hold ~10 [r, r, T] work arrays, which
+# overflows HBM beyond T ~ 1e6-1e7.  Blocks run the parallel scan
+# internally and compose sequentially via an O(1) carry, so peak memory
+# is O(block) while the outputs stream.
+# ---------------------------------------------------------------------------
+
+SMOOTHER_BLOCK = 1 << 17  # default block length (and the flat-scan cap)
+
+
+def _filter_block_em(a, q, h, r_em, y, m_in, p_in, valid):
+    """Parallel filter over one block with general init (m_in, p_in) =
+    filtered moments of the state BEFORE this block.  Element-major
+    leaves ([r, r, Tb]); `valid` masks padded steps out of the
+    log-likelihood.  Returns (ms, ps, ll, m_out, p_out)."""
+    tb = y.shape[-1]
+    rank = a.shape[0]
+    dtype = a.dtype
+    eye_r = jnp.eye(rank, dtype=dtype)[:, :, None]
+    first = (jnp.arange(tb) == 0).astype(dtype)[None, None, :]
+    not_first = 1.0 - first
+
+    p_in3 = p_in[:, :, None]
+    # prior covariance entering each step: Q generically; A p_in A^T + Q
+    # at the first step (the m_in mean term rides in b_el below)
+    pp = q + first * sb.matmul(sb.matmul(a, p_in3), a, tb=True)
+    s = sb.matmul(sb.matmul(h, pp), h, tb=True) + r_em
+    hp = sb.matmul(h, pp)
+    k = sb.transpose(_solve_spd(s, hp))
+    ikh = eye_r - sb.matmul(k, h)
+    ha = sb.matmul(h, a)
+    s_inv_y = _solve_spd_vec(s, y)
+
+    a_el = not_first * sb.matmul(ikh, a)
+    b_el = sb.matvec(k, y) + first[0] * sb.matvec(
+        sb.matmul(ikh, a), jnp.broadcast_to(m_in[:, None], (rank, tb))
+    )
+    c_el = sb.matmul(ikh, pp)
+    eta = not_first[0] * sb.matvec(ha, s_inv_y, ta=True)
+    j_el = not_first * sb.matmul(ha, _solve_spd(s, ha), ta=True)
+
+    scanned = jax.lax.associative_scan(
+        _filter_combine_em,
+        (a_el, b_el[:, None, :], c_el, eta[:, None, :], j_el),
+        axis=2,
+    )
+    ms, ps = scanned[1][:, 0, :], scanned[2]
+
+    # per-step log-likelihood terms from one-step-ahead predictives
+    m_prev = sb.shift_down(ms) + first[0] * m_in[:, None]
+    p_prev = sb.shift_down(ps) + first * p_in3
+    mp = sb.matvec(a, m_prev)
+    ppd = sb.matmul(sb.matmul(a, p_prev), a, tb=True) + q
+    s2 = sb.matmul(sb.matmul(h, ppd), h, tb=True) + r_em
+    innov = y - sb.matvec(h, mp)
+    l2, inv2 = sb.cholesky(s2)
+    z = sb.solve_lower_vec(l2, inv2, innov)
+    obs = y.shape[0]
+    ll_t = -0.5 * (
+        jnp.sum(z * z, axis=0)
+        + obs * jnp.log(2 * jnp.pi)
+        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l2, axis1=0, axis2=1)), axis=1)
+    )
+    ll = jnp.sum(ll_t * valid)
+    return ms, ps, ll, ms[:, -1], ps[:, :, -1]
+
+
+def _pad_ssm_blocks(ssm: SSM, xs: Array, block: int):
+    """Pad (A, Q, y) to a block multiple with no-op steps (A = I, Q = 0,
+    observation ignored via the valid mask): the filtered state passes
+    through unchanged and the smoother treats them as identity links."""
+    t = xs.shape[0]
+    nb = -(-t // block)
+    pad = nb * block - t
+    rank = ssm.h.shape[1]
+    dtype = ssm.a.dtype
+    valid = jnp.concatenate(
+        [jnp.ones((t,), dtype), jnp.zeros((pad,), dtype)]
+    )
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(rank, dtype=dtype)[None],
+                               (pad, rank, rank))
+        a = jnp.concatenate([ssm.a, eye], axis=0)
+        q = jnp.concatenate(
+            [ssm.q, jnp.zeros((pad, rank, rank), dtype)], axis=0
+        )
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((pad, xs.shape[1]), xs.dtype)], axis=0
+        )
+    else:
+        a, q = ssm.a, ssm.q
+    return a, q, xs, valid, nb, pad
+
+
+@partial(jax.jit, static_argnames=("block",))
+@_highest_precision
+def filter_parallel_blocked(
+    ssm: SSM, xs: Array, block: int = 1 << 17
+) -> Tuple[Array, Array, Array]:
+    """`filter_parallel` with O(block) peak memory: a `lax.scan` over
+    blocks, each block running the O(log Tb)-depth associative scan,
+    composed through the exact (m, P) filtered carry.  Identical outputs
+    (tests/test_models.py)."""
+    t = xs.shape[0]
+    rank = ssm.h.shape[1]
+    obs = ssm.h.shape[0]
+    dtype = ssm.a.dtype
+    a, q, xs_p, valid, nb, pad = _pad_ssm_blocks(ssm, xs, block)
+
+    a_b = sb.to_em(a).reshape(rank, rank, nb, block).transpose(2, 0, 1, 3)
+    q_b = sb.to_em(q).reshape(rank, rank, nb, block).transpose(2, 0, 1, 3)
+    y_b = sb.vec_to_em(xs_p).reshape(obs, nb, block).transpose(1, 0, 2)
+    v_b = valid.reshape(nb, block)
+    h = jnp.broadcast_to(ssm.h[:, :, None], (obs, rank, block))
+    r_em = jnp.broadcast_to(ssm.r[:, :, None], (obs, obs, block))
+
+    def body(carry, inp):
+        m_in, p_in, ll = carry
+        a_k, q_k, y_k, v_k = inp
+        ms, ps, ll_k, m_out, p_out = _filter_block_em(
+            a_k, q_k, h, r_em, y_k, m_in, p_in, v_k
+        )
+        return (m_out, p_out, ll + ll_k), (ms, ps)
+
+    init = (jnp.zeros((rank,), dtype), jnp.eye(rank, dtype=dtype),
+            jnp.zeros((), dtype))
+    (_, _, ll), (ms_b, ps_b) = jax.lax.scan(
+        body, init, (a_b, q_b, y_b, v_b)
+    )
+    ms = ms_b.transpose(1, 0, 2).reshape(rank, nb * block)[:, :t]
+    ps = ps_b.transpose(1, 2, 0, 3).reshape(rank, rank, nb * block)[..., :t]
+    return sb.vec_from_em(ms), sb.from_em(ps), ll
+
+
+@partial(jax.jit, static_argnames=("block",))
+@_highest_precision
+def smooth_parallel_full_blocked(
+    ssm: SSM, xs: Array, block: int = 1 << 17
+) -> Tuple[Array, Array, Array]:
+    """`smooth_parallel_full` with O(block) peak scan memory: blocked
+    filtering forward, then a reverse `lax.scan` over blocks whose carry
+    is the smoothed (m, P) of the next block's first state.  Exact
+    (tests/test_models.py)."""
+    t = xs.shape[0]
+    rank = ssm.h.shape[1]
+    dtype = ssm.a.dtype
+    ms_nat, ps_nat, _ = filter_parallel_blocked(ssm, xs, block=block)
+
+    a, q, _, valid, nb, pad = _pad_ssm_blocks(ssm, xs, block)
+    ms = sb.vec_to_em(ms_nat)
+    ps = sb.to_em(ps_nat)
+    if pad:
+        # padded filtered state: carry the last real state through
+        ms = jnp.concatenate(
+            [ms, jnp.broadcast_to(ms[:, -1:], (rank, pad))], axis=-1
+        )
+        ps = jnp.concatenate(
+            [ps, jnp.broadcast_to(ps[:, :, -1:], (rank, rank, pad))],
+            axis=-1,
+        )
+    tp = nb * block
+    a_em = sb.to_em(a)
+    q_em = sb.to_em(q)
+    # next-step transition/noise per index (global shift; the padded
+    # tail is identity/zero so the boundary entries stay harmless)
+    a_n = jnp.concatenate([a_em[..., 1:], a_em[..., -1:]], axis=-1)
+    q_n = jnp.concatenate([q_em[..., 1:], q_em[..., -1:]], axis=-1)
+    last = (jnp.arange(tp) == tp - 1).astype(dtype)[None, None, :]
+    not_last = 1.0 - last
+
+    pp = sb.matmul(sb.matmul(a_n, ps), a_n, tb=True) + q_n
+    # padded steps: pp = ps (A=I, Q=0) -> gain = I, e = I, g = 0,
+    # ell = 0: exact identity pass-through of the smoothed carry
+    gain = sb.transpose(_solve_spd(pp, sb.matmul(a_n, ps)))
+    e = not_last * gain
+    g = ms - not_last[0] * sb.matvec(gain, sb.matvec(a_n, ms))
+    ell = ps - not_last * sb.matmul(sb.matmul(gain, pp), gain, tb=True)
+
+    def blocks(x):  # [r, ., tp] -> [nb, r, ., block]
+        sh = x.shape[:-1]
+        return x.reshape(sh + (nb, block)).transpose(
+            (len(sh),) + tuple(range(len(sh))) + (len(sh) + 1,)
+        )
+
+    e_b, g_b, ell_b, gain_b = map(blocks, (e, g, ell, gain))
+
+    def body(carry, inp):
+        m_c, p_c = carry  # smoothed first state of the NEXT block
+        e_k, g_k, ell_k, gain_k = inp
+        es, gs, ells = jax.lax.associative_scan(
+            _smoother_combine_em,
+            (e_k, g_k[:, None, :], ell_k),
+            axis=2, reverse=True,
+        )
+        m_s = sb.matvec(
+            es, jnp.broadcast_to(m_c[:, None], (m_c.shape[0], block))
+        ) + gs[:, 0, :]
+        p_s = sb.matmul(sb.matmul(es, p_c[:, :, None]), es, tb=True) + ells
+        # cross_j = P^s_{j+1} gain_j^T; the block-last entry uses the
+        # carried next-block first covariance
+        p_next = jnp.concatenate([p_s[..., 1:], p_c[:, :, None]], axis=-1)
+        cross = sb.matmul(p_next, gain_k, tb=True)
+        return (m_s[:, 0], p_s[:, :, 0]), (m_s, p_s, cross)
+
+    init = (jnp.zeros((rank,), dtype), jnp.zeros((rank, rank), dtype))
+    _, (m_sb, p_sb, cr_b) = jax.lax.scan(
+        body, init, (e_b, g_b, ell_b, gain_b), reverse=True
+    )
+    m_s = m_sb.transpose(1, 0, 2).reshape(rank, tp)[:, :t]
+    p_s = p_sb.transpose(1, 2, 0, 3).reshape(rank, rank, tp)[..., :t]
+    cross = cr_b.transpose(1, 2, 0, 3).reshape(rank, rank, tp)[..., :t - 1]
+    return sb.vec_from_em(m_s), sb.from_em(p_s), sb.from_em(cross)
+
+
 @jax.jit
 def sample_states(ssm: SSM, key: jax.Array) -> Array:
     """Latent sample path matching the reference's

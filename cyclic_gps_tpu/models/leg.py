@@ -613,6 +613,10 @@ def posterior_mean(
         from cyclic_gps_tpu.baselines import kalman
 
         ssm = kalman.leg_to_ssm(params, ts, regular=regular)
+        if ts.shape[0] > kalman.SMOOTHER_BLOCK:
+            # the flat associative scan holds ~10 [r, r, N] work arrays
+            # and overflows HBM beyond ~1e6; blocked version is exact
+            return kalman.smooth_parallel_full_blocked(ssm, xs)[0]
         return kalman.smooth_parallel(ssm, xs)[0]
     n = ts.shape[0]
     s = pt.default_chunk_len(n)
@@ -649,6 +653,8 @@ def insample_posterior(
         from cyclic_gps_tpu.baselines import kalman
 
         ssm = kalman.leg_to_ssm(params, ts, regular=regular)
+        if ts.shape[0] > kalman.SMOOTHER_BLOCK:
+            return kalman.smooth_parallel_full_blocked(ssm, xs)
         return kalman.smooth_parallel_full(ssm, xs)
     s = pt.default_chunk_len(n)
     if n < max(pt._TERMINAL, 2 * s):

@@ -298,3 +298,30 @@ def test_smoother_lag1_cross_covariance_oracle():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(sm_cross), np.asarray(cov_off),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_blocked_filter_smoother_match_flat():
+    """The blocked (memory-bounded) parallel filter/smoother equal the
+    flat associative-scan versions exactly, including non-block-multiple
+    T (no-op-step padding) -- the route for f32 posteriors beyond
+    N ~ 1e6, where the flat scan's work arrays overflow HBM."""
+    n, d, rank = 300, 2, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
+                           seed=17)
+    params = leg.init_params(jax.random.key(9), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+    ssm = kalman.leg_to_ssm(params, ts)
+
+    m1, p1, ll1 = kalman.filter_parallel(ssm, xs)
+    m2, p2, ll2 = kalman.filter_parallel_blocked(ssm, xs, block=64)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(float(ll2), float(ll1), rtol=1e-12)
+
+    s1 = kalman.smooth_parallel_full(ssm, xs)
+    s2 = kalman.smooth_parallel_full_blocked(ssm, xs, block=64)
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12, atol=1e-13)
