@@ -205,9 +205,47 @@ def transition_and_noise(g: Array, diffs: Array) -> Tuple[Array, Array]:
     return sb.from_em(e_em), sb.from_em(q_em)
 
 
-@_highest_precision
 def transition_and_noise_em(g: Array, diffs: Array) -> Tuple[Array, Array]:
     """Element-major `transition_and_noise`: returns (e, q) as [r, r, T].
+
+    Dispatch: on TPU at float32 with a single generator, the whole
+    hybrid construction runs as ONE fused Pallas kernel
+    (ops/expm_pallas.py) -- the XLA Pade pipeline's [2r, 2r, T]
+    intermediates cannot fuse and round-trip ~10 GB of HBM at T = 1e6
+    (the dominant cost of the irregular-grid likelihood).  Gradients
+    replay the XLA path's adjoint (custom VJP).
+    """
+    if (getattr(g, "ndim", 2) == 2 and g.dtype == jnp.float32
+            and pt.resolve_backend("auto") == "pallas"):
+        return _tn_pallas_diff(g, diffs)
+    return _transition_and_noise_em_xla(g, diffs)
+
+
+@jax.custom_vjp
+def _tn_pallas_diff(g: Array, diffs: Array) -> Tuple[Array, Array]:
+    from cyclic_gps_tpu.ops.expm_pallas import transition_and_noise_pallas
+
+    return transition_and_noise_pallas(g, diffs)
+
+
+def _tn_pallas_fwd(g, diffs):
+    return _tn_pallas_diff(g, diffs), (g, diffs)
+
+
+def _tn_pallas_bwd(res, cots):
+    # the Pallas forward has no AD rule; replay the XLA construction's
+    # adjoint (identical math: same hybrid branches and clamping)
+    g, diffs = res
+    _, vjp = jax.vjp(_transition_and_noise_em_xla, g, diffs)
+    return vjp(cots)
+
+
+_tn_pallas_diff.defvjp(_tn_pallas_fwd, _tn_pallas_bwd)
+
+
+@_highest_precision
+def _transition_and_noise_em_xla(g: Array, diffs: Array) -> Tuple[Array, Array]:
+    """XLA implementation of `transition_and_noise_em`.
 
     The whole computation (augmented expm + block extraction + P e^T)
     runs in element-major layout with the gap axis on the lanes --
@@ -311,6 +349,28 @@ def peg_precision_and_logdet(g: Array, ts: Array):
     return sb.from_em(diag_em), sb.from_em(off_em), sig_inv_logdet
 
 
+def _q1_terms(e, q1):
+    """From (e, Q1 = I - e e^T): the three precision ingredients
+
+      off    = -Q1^{-1} e
+      d_left = e Q2^{-1} e^T = Q1^{-1} e e^T = Q1^{-1} - I   (push-through)
+      d_right = e^T Q1^{-1} e
+
+    The push-through identity e (I - e^T e)^{-1} = (I - e e^T)^{-1} e
+    eliminates Q2 entirely -- and with it the SECOND Van Loan matrix
+    exponential (for G^T) that round 1 computed, halving the dominant
+    emission cost of the likelihood.  Returns (off, d_left, d_right, l1).
+    """
+    rank = e.shape[0]
+    l1, inv1 = sb.cholesky(q1)
+    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e))
+    li = sb.tri_lower_inverse(l1, inv1)
+    eye = jnp.eye(rank, dtype=e.dtype)[:, :, None]
+    d_left = sb.matmul(li, li, ta=True) - eye  # Q1^{-1} - I
+    d_right = sb.matmul(sb.transpose(e), q1_inv_e)
+    return -q1_inv_e, d_left, d_right, l1
+
+
 @_highest_precision
 def _peg_precision_em(g: Array, ts: Array):
     """Element-major precision assembly: (diag [r, r, N],
@@ -318,24 +378,8 @@ def _peg_precision_em(g: Array, ts: Array):
     small-block sweeps with the gap axis on the lanes."""
     rank = g.shape[0]
     diffs = ts[1:] - ts[:-1]
-    # both Van Loan exponentials (for G and G^T) in ONE batched expm call
-    t = diffs.shape[0]
-    both = transition_and_noise_em(
-        jnp.stack([g, g.T]), jnp.concatenate([diffs, diffs])
-    )
-    e = both[0][:, :, :t]
-    q1 = both[1][:, :, :t]
-    q2 = both[1][:, :, t:]
-    e_t = sb.transpose(e)
-
-    l1, inv1 = sb.cholesky(q1)
-    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e))
-    l2, inv2 = sb.cholesky(q2)
-    q2_inv_et = sb.solve_lower_t(l2, inv2, sb.solve_lower(l2, inv2, e_t))
-
-    off = -q1_inv_e
-    d_left = sb.matmul(e, q2_inv_et)  # Q1^{-1} - I by Woodbury
-    d_right = sb.matmul(e_t, q1_inv_e)  # e^T Q1^{-1} e
+    e, q1 = transition_and_noise_em(g, diffs)
+    off, d_left, d_right, l1 = _q1_terms(e, q1)
 
     # diag_i = I + d_left[i-1] + d_right[i]  (gap g connects points g, g+1)
     zero = jnp.zeros((rank, rank, 1), dtype=g.dtype)
@@ -356,22 +400,8 @@ def _peg_precision_em_regular(g: Array, dt: Array, num_obs: int):
     path at large N), then broadcast blocks."""
     rank = g.shape[0]
     t = num_obs - 1
-    both = transition_and_noise_em(
-        jnp.stack([g, g.T]), jnp.full((2,), dt, dtype=g.dtype)
-    )
-    e1 = both[0][:, :, :1]
-    q1 = both[1][:, :, :1]
-    q2 = both[1][:, :, 1:]
-    e_t = sb.transpose(e1)
-
-    l1, inv1 = sb.cholesky(q1)
-    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e1))
-    l2, inv2 = sb.cholesky(q2)
-    q2_inv_et = sb.solve_lower_t(l2, inv2, sb.solve_lower(l2, inv2, e_t))
-
-    off1 = -q1_inv_e
-    d_left = sb.matmul(e1, q2_inv_et)
-    d_right = sb.matmul(e_t, q1_inv_e)
+    e1, q1 = transition_and_noise_em(g, jnp.full((1,), dt, dtype=g.dtype))
+    off1, d_left, d_right, l1 = _q1_terms(e1, q1)
 
     zero = jnp.zeros((rank, rank, 1), dtype=g.dtype)
     eye = jnp.eye(rank, dtype=g.dtype)[:, :, None]
@@ -423,30 +453,14 @@ def _k_system_chunked(params: LEGParams, ts: Array, xs: Array, s: int,
 
     if regular:
         dt = ts[1] - ts[0]
-        both = transition_and_noise_em(
-            jnp.stack([g, g.T]), jnp.full((2,), dt, dtype=dtype)
+        e, q1 = transition_and_noise_em(
+            g, jnp.full((1,), dt, dtype=dtype)
         )
-        e = jnp.broadcast_to(both[0][:, :, :1], (rank, rank, 1))
-        q1 = both[1][:, :, :1]
-        q2 = both[1][:, :, 1:]
     else:
-        both = transition_and_noise_em(
-            jnp.stack([g, g.T]),
-            jnp.concatenate([diffs.reshape(-1), diffs.reshape(-1)]),
-        )
-        e = both[0][:, :, : s * c]
-        q1 = both[1][:, :, : s * c]
-        q2 = both[1][:, :, s * c:]
-
-    l1, inv1 = sb.cholesky(q1)
-    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e))
-    l2, inv2 = sb.cholesky(q2)
-    q2_inv_et = sb.solve_lower_t(
-        l2, inv2, sb.solve_lower(l2, inv2, sb.transpose(e))
-    )
-    off1 = -q1_inv_e  # [r, r, s*C] (or [.., 1] if regular)
-    d_left = sb.matmul(e, q2_inv_et)
-    d_right = sb.matmul(sb.transpose(e), q1_inv_e)
+        e, q1 = transition_and_noise_em(g, diffs.reshape(-1))
+    # off/d_left/d_right from Q1 alone (push-through identity; no second
+    # Van Loan exponential for G^T) -- see _q1_terms
+    off1, d_left, d_right, l1 = _q1_terms(e, q1)
 
     def cm(x):  # [r, r, s*C] -> [s, r, r, C] (broadcasting the regular case)
         if x.shape[-1] == 1:

@@ -1,22 +1,33 @@
-"""Pallas TPU kernel for the partitioned-engine forward sweep.
+"""Pallas TPU kernels for the partitioned block-Thomas engine.
 
-One kernel executes the whole chunk-interior elimination: the grid runs
-sequentially over the s-1 in-chunk steps (TPU grid steps execute in order
-on a core), the carried per-chunk state (C_j, W0_j, w_j, accumulators)
-lives in VMEM scratch that persists across grid steps, and each step's
-[d, d, C] block slices stream in with Pallas' automatic double-buffered
-pipelining.  HBM traffic is exactly one read of the data -- no scan-state
-spills.
+Five kernels cover every hot path of ops/partitioned.py:
 
-The XLA `lax.scan` path (ops/partitioned.py) is already near this
-device's bandwidth floor, so this kernel is primarily about (a) removing
-the scan's state-passing overhead on real hardware and (b) providing the
-fused in-VMEM form that the (v5p-class) roofline wants.  It is
-forward-only (training uses the differentiable scan path).
+* `forward_sweep_pallas` -- fused chunk-interior elimination (the
+  mahal/logdet pass): the grid runs sequentially over the s-1 in-chunk
+  steps (TPU grid steps execute in order on a core), the carried
+  per-chunk state (C_j, W0_j, w_j, accumulators) lives in VMEM scratch
+  persisting across grid steps, and each step's [d, d, C] block slices
+  stream in with Pallas' automatic double-buffered pipelining.
+* `forward_sweep_collect_pallas` -- same, additionally streaming the
+  'hat' back-substitution factors to HBM rows each step.
+* `backward_substitute_pallas` -- the solve's second pass: pure-FMA
+  back-substitution whose grid walks the stacked factors in DESCENDING
+  step order via plain index maps (a reversed `lax.scan` strides
+  backwards through HBM and is ~1.7x slower).
+* `forward_sweep_inverse_pallas` + `takahashi_backward_pallas` -- the
+  selected-inversion pair (raw factors forward, Takahashi recursion
+  backward).
+
+Measured 1.7-2x over the XLA scan path on-device (PALLAS_TPU.md); the
+chunk axis is padded to a fixed 512-lane kernel tile (never collapsed to
+one whole-C tile -- VMEM blowup).  Differentiability comes from the
+analytic custom VJPs in ops/partitioned.py, not from these kernels.
 
 Block math uses kernel-local helpers written in Mosaic's supported
 subset: basic slices only (no integer/None advanced indexing, no stack/
-concatenate), one-hot numpy constants instead of dynamic masks.
+concatenate), one-hot iota masks.  Gotcha: a CONSTANT-only RHS into the
+masked substitution sweep crashes Mosaic's vector layout pass -- anchor
+constants to kernel data (see _takahashi_kernel).
 """
 
 from __future__ import annotations
@@ -205,7 +216,7 @@ def _pad_jitter_ld(s, d, npad, jitter, dtype):
 def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
                          jitter: float = 0.0):
     """Fused forward sweep on chunk-major inputs (see
-    partitioned._forward_sweep, collect=False).
+    partitioned._forward_sweep, collect=None).
 
     Returns (acc00 [d,d,C], accy0 [d,C], w0_last [d,d,C], w_last [d,C],
     d_last [d,d,C], invd_last [d,C], mh, ld) -- everything the reduced

@@ -249,24 +249,15 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
     gap_valid = (~is_global_last).astype(g.dtype)  # [m]
     diffs = jnp.where(is_global_last, 1.0, diffs)
 
-    # both Van Loan exponentials (G and G^T) in one batched em expm
-    both = leg.transition_and_noise_em(
-        jnp.stack([g, g.T]), jnp.concatenate([diffs, diffs])
-    )
-    e = both[0][:, :, :mloc]
-    q1 = both[1][:, :, :mloc]
-    q2 = both[1][:, :, mloc:]
-    e_t = sb.transpose(e)
-
-    l1, inv1 = sb.cholesky(q1)
-    q1_inv_e = sb.solve_lower_t(l1, inv1, sb.solve_lower(l1, inv1, e))
-    l2, inv2 = sb.cholesky(q2)
-    q2_inv_et = sb.solve_lower_t(l2, inv2, sb.solve_lower(l2, inv2, e_t))
+    e, q1 = leg.transition_and_noise_em(g, diffs)
+    # off/d_left/d_right from Q1 alone (push-through identity; no second
+    # Van Loan exponential for G^T) -- see leg._q1_terms
+    off1, d_left1, d_right1, l1 = leg._q1_terms(e, q1)
 
     gv = gap_valid[None, None, :]
-    off_em = -q1_inv_e * gv
-    d_left = sb.matmul(e, q2_inv_et) * gv
-    d_right = sb.matmul(e_t, q1_inv_e) * gv
+    off_em = off1 * gv
+    d_left = d_left1 * gv
+    d_right = d_right1 * gv
     eye = jnp.eye(rank, dtype=g.dtype)[:, :, None]
     diag_em = eye + shifts.shift_down(d_left) + d_right
 

@@ -68,3 +68,56 @@ def test_lu_solve_pivoted():
             x[:, :, k], np.linalg.solve(a[:, :, k], b[:, :, k]),
             rtol=1e-8, atol=1e-10,
         )
+
+
+def test_transition_and_noise_pallas_matches_xla():
+    """The fused Pallas (e, Q) kernel (interpret mode in CI) matches the
+    XLA hybrid construction across gap scales, including the
+    branch-switch region and the squaring path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cyclic_gps_tpu.models import leg
+    from cyclic_gps_tpu.ops.expm_pallas import transition_and_noise_pallas
+
+    rng = np.random.RandomState(0)
+    r = 4
+    z = rng.randn(r, r)
+    g = jnp.asarray((z @ z.T * 0.3 + (z - z.T)) +
+                    1e-5 * np.eye(r), jnp.float32)
+    diffs = jnp.asarray(np.logspace(-4, 2, 700), jnp.float32)
+    e_x, q_x = leg._transition_and_noise_em_xla(g, diffs)
+    with pltpu.force_tpu_interpret_mode():
+        e_p, q_p = transition_and_noise_pallas(g, diffs)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tn_pallas_custom_vjp_matches_xla_grad():
+    """The custom VJP of the Pallas dispatch replays the XLA adjoint."""
+    from cyclic_gps_tpu.models import leg
+
+    rng = np.random.RandomState(1)
+    r = 3
+    z = rng.randn(r, r)
+    g = jnp.asarray((z - z.T) * 0.4 + np.eye(r), jnp.float32)
+    diffs = jnp.asarray(rng.uniform(0.05, 2.0, 40), jnp.float32)
+    w_e = jnp.asarray(rng.randn(r, r, 40), jnp.float32)
+    w_q = jnp.asarray(rng.randn(r, r, 40), jnp.float32)
+
+    def loss_path(fn):
+        def f(g_, d_):
+            e, q = fn(g_, d_)
+            return jnp.sum(w_e * e) + jnp.sum(w_q * q)
+        return jax.grad(f, argnums=(0, 1))(g, diffs)
+
+    # the dispatch resolves to XLA on CPU; exercise the custom-VJP
+    # machinery directly against the XLA autodiff
+    g1 = loss_path(leg._transition_and_noise_em_xla)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        g2 = loss_path(leg._tn_pallas_diff)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
