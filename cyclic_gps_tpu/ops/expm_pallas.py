@@ -43,7 +43,7 @@ _PADE13 = (
     33522128640.0, 1323241920.0, 40840800.0, 960960.0, 16380.0, 182.0, 1.0,
 )
 _THETA13 = 5.371920351148152
-_MAXSQ = 24  # static in-kernel squaring unroll (covers |dG|/2 < 9e7)
+_MAXSQ = 40  # safety cap on the (dynamic) in-kernel squaring loop
 
 
 def _lu_solve_k(a, b):
@@ -84,7 +84,7 @@ def _pade13_k(a, eye):
     return _lu_solve_k(v - u, v + u)
 
 
-def _tn_kernel(half_ref, g_ref, gaug_ref, dt_ref, e_ref, q_ref):
+def _tn_kernel(half_ref, smax_ref, g_ref, gaug_ref, dt_ref, e_ref, q_ref):
     """One lane tile: dt [1, nt] -> e, q [r, r, nt]."""
     r = g_ref.shape[0]
     dtype = g_ref.dtype
@@ -105,10 +105,16 @@ def _tn_kernel(half_ref, g_ref, gaug_ref, dt_ref, e_ref, q_ref):
     )
     s = jnp.clip(s, 0.0, float(_MAXSQ))
     a_s = a * jnp.exp2(-s)[None, None, :]
-    e = _pade13_k(a_s, eye_r)
-    for k in range(_MAXSQ):
-        do = (s > float(k)).astype(dtype)[None, None, :]
-        e = do * _mm(e, e) + (1.0 - do) * e
+    e0 = _pade13_k(a_s, eye_r)
+
+    # masked squaring, DYNAMIC trip count = the batch's max squaring
+    # need (XLA-side scalar): typical LEG gaps need 0-3 rounds, so the
+    # loop usually costs nothing
+    def sq_body(k, e_c):
+        do = (s > k.astype(dtype)).astype(dtype)[None, None, :]
+        return do * _mm(e_c, e_c) + (1.0 - do) * e_c
+
+    e = jax.lax.fori_loop(0, smax_ref[0, 0], sq_body, e0)
 
     # --- Van Loan branch on the clamped gap (norm < 1: no squaring) ---
     tn = dt * half
@@ -159,10 +165,18 @@ def transition_and_noise_pallas(g: Array, diffs: Array):
     bot = jnp.concatenate([jnp.zeros_like(g), -a_half.T], axis=-1)
     gaug = jnp.concatenate([top, bot], axis=-2)  # [2r, 2r]
 
+    # batch max squaring count (drives the kernel's dynamic loop)
+    smax = jnp.ceil(
+        jnp.log2(jnp.maximum(jnp.max(dt) * half_norm / _THETA13, 1.0))
+    )
+    smax = jnp.clip(smax, 0.0, float(_MAXSQ)).astype(jnp.int32)
+
     out = pl.pallas_call(
         _tn_kernel,
         grid=(npad // nt,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((r, r, 1), lambda t: (0, 0, 0),
@@ -179,7 +193,7 @@ def transition_and_noise_pallas(g: Array, diffs: Array):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((r, r, npad), g.dtype)] * 2,
-    )(half_norm.reshape(1, 1), g[:, :, None], gaug[:, :, None],
-      dt[None, :])
+    )(half_norm.reshape(1, 1), smax.reshape(1, 1), g[:, :, None],
+      gaug[:, :, None], dt[None, :])
     e, q = out
     return e[:, :, :n], q[:, :, :n]
