@@ -516,6 +516,55 @@ def filter_parallel_blocked(
 
 @partial(jax.jit, static_argnames=("block",))
 @_highest_precision
+def log_likelihood_blocked(
+    ssm: SSM, xs: Array, block: int = 1 << 17
+) -> Array:
+    """Marginal log-likelihood with O(block) peak memory — the f32
+    training loss for N beyond the flat associative scan's HBM plan
+    (~10 [r, r, T] work arrays overflow 16 GB near T ~ 1e6-1e7).
+
+    A `lax.scan` over blocks carries only the exact filtered (m, P) of
+    the block boundary plus the running log-likelihood; each block runs
+    the O(log Tb)-depth associative filter internally.  The body is
+    `jax.checkpoint`-ed, so reverse-mode stores one (m, P, ll) carry per
+    block and rematerialises the block interior in the backward pass —
+    gradient memory is O(block), which is what makes f32 *training*
+    (not just evaluation) work at T = 1e7.  Equal to
+    ``filter_parallel(ssm, xs)[2]`` (tests/test_models.py).
+
+    Reference analog: the filterpy log-likelihood accumulation the
+    timing script gestures at (kalman_timing_script.py:25-27,55) —
+    sequential, eager, and never trainable at this scale.
+    """
+    rank = ssm.h.shape[1]
+    obs = ssm.h.shape[0]
+    dtype = ssm.a.dtype
+    a, q, xs_p, valid, nb, pad = _pad_ssm_blocks(ssm, xs, block)
+
+    a_b = sb.to_em(a).reshape(rank, rank, nb, block).transpose(2, 0, 1, 3)
+    q_b = sb.to_em(q).reshape(rank, rank, nb, block).transpose(2, 0, 1, 3)
+    y_b = sb.vec_to_em(xs_p).reshape(obs, nb, block).transpose(1, 0, 2)
+    v_b = valid.reshape(nb, block)
+    h = jnp.broadcast_to(ssm.h[:, :, None], (obs, rank, block))
+    r_em = jnp.broadcast_to(ssm.r[:, :, None], (obs, obs, block))
+
+    @jax.checkpoint
+    def body(carry, inp):
+        m_in, p_in, ll = carry
+        a_k, q_k, y_k, v_k = inp
+        _, _, ll_k, m_out, p_out = _filter_block_em(
+            a_k, q_k, h, r_em, y_k, m_in, p_in, v_k
+        )
+        return (m_out, p_out, ll + ll_k), None
+
+    init = (jnp.zeros((rank,), dtype), jnp.eye(rank, dtype=dtype),
+            jnp.zeros((), dtype))
+    (_, _, ll), _ = jax.lax.scan(body, init, (a_b, q_b, y_b, v_b))
+    return ll
+
+
+@partial(jax.jit, static_argnames=("block",))
+@_highest_precision
 def smooth_parallel_full_blocked(
     ssm: SSM, xs: Array, block: int = 1 << 17
 ) -> Tuple[Array, Array, Array]:

@@ -30,6 +30,19 @@ def nll_loss(params: leg.LEGParams, ts: Array, xs: Array) -> Array:
     return -leg.log_likelihood(params, ts, xs) / nobs
 
 
+def _kalman_ll(params: leg.LEGParams, ts: Array, xs: Array,
+               regular: bool) -> Array:
+    from cyclic_gps_tpu.baselines import kalman
+
+    ssm = kalman.leg_to_ssm(params, ts, regular=regular)
+    if xs.shape[0] > kalman.SMOOTHER_BLOCK:
+        # flat associative scan overflows HBM beyond T ~ 1e6; the blocked
+        # filter carries (m, P, ll) across checkpointed blocks so both the
+        # forward AND the gradient run in O(block) memory at T = 1e7
+        return kalman.log_likelihood_blocked(ssm, xs)
+    return kalman.filter_parallel(ssm, xs)[2]
+
+
 def nll_loss_kalman(params: leg.LEGParams, ts: Array, xs: Array) -> Array:
     """Same NLL through the parallel Kalman filter.
 
@@ -39,15 +52,27 @@ def nll_loss_kalman(params: leg.LEGParams, ts: Array, xs: Array) -> Array:
     and overwhelm f32 once the learned process gets very smooth, whereas
     the filter's innovation covariances are bounded below by the
     observation noise.  Use for f32 training runs that drift into smooth
-    regimes; ~2-3x slower than the partitioned-solver loss.
+    regimes; ~2-3x slower than the partitioned-solver loss.  Above
+    T = 2^17 it dispatches to the blocked (O(block)-memory) filter so
+    f32 training works at T = 1e7.
     """
-    from cyclic_gps_tpu.baselines import kalman
-
-    ssm = kalman.leg_to_ssm(params, ts)
-    return -kalman.filter_parallel(ssm, xs)[2] / xs.size
+    return -_kalman_ll(params, ts, xs, regular=False) / xs.size
 
 
-LOSSES = {"cr": nll_loss, "kalman": nll_loss_kalman}
+def nll_loss_kalman_regular(params: leg.LEGParams, ts: Array,
+                            xs: Array) -> Array:
+    """`nll_loss_kalman` for a uniform grid: ONE matrix exponential
+    broadcast over the T steps instead of T Van Loan constructions — the
+    dominant setup cost at large T (``fit`` auto-selects this when the
+    observed grid is uniform)."""
+    return -_kalman_ll(params, ts, xs, regular=True) / xs.size
+
+
+LOSSES = {
+    "cr": nll_loss,
+    "kalman": nll_loss_kalman,
+    "kalman_regular": nll_loss_kalman_regular,
+}
 
 
 def make_optimizer(
@@ -123,7 +148,12 @@ def fit(
     (where smooth fits make the precision form ill-conditioned).
     """
     if loss is None:
-        loss = "cr" if xs.dtype == jnp.float64 else "kalman"
+        if xs.dtype == jnp.float64:
+            loss = "cr"
+        else:
+            d = np.diff(np.asarray(ts))
+            uniform = d.size > 0 and np.allclose(d, d[0], rtol=1e-6, atol=0)
+            loss = "kalman_regular" if uniform else "kalman"
     opt = make_optimizer(optimizer, lr)
     opt_state = opt.init(params)
     losses = []
