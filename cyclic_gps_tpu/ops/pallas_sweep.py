@@ -358,8 +358,9 @@ def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
 
     Returns (acc00, accy0, w0_last, w_last, d_last, invd_last, mh, ld,
     hat_cs, hat_w0s, hat_ws): the first eight sliced to the true chunk
-    count C, the hat stacks LEFT PADDED to the kernel tile multiple
-    (consumed as-is by `backward_substitute_pallas`; slicing them would
+    count C, the hat stacks left in padded form (RIGHT-padded to the
+    kernel tile multiple: _pad_chunks appends after the real chunks;
+    consumed as-is by `backward_substitute_pallas` -- slicing them would
     copy ~200 MB).  Padded chunks yield zero hats -> zero x rows.
     """
     R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm, _CT)

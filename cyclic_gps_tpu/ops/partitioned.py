@@ -271,11 +271,26 @@ def mahal_and_logdet(
 
 def resolve_backend(backend: str) -> str:
     """"auto" picks the Pallas kernels on TPU-like devices, the XLA scan
-    path on CPU (tests / oracles).  Single-chip only: under GSPMD
-    auto-sharding prefer explicit backend="xla"."""
+    path on CPU (tests / oracles).
+
+    The Pallas kernels are single-chip programs, so "auto" also falls
+    back to the XLA scan when tracing happens under an ambient
+    multi-device mesh (``jax.sharding.use_mesh`` / ``shard_map`` bodies
+    see it as the abstract mesh): GSPMD would otherwise partition a
+    kernel that assumes it owns the whole chunk axis.  Explicit
+    ``backend="pallas"`` still overrides (shard-local callers that KNOW
+    their block is chip-resident)."""
     if backend != "auto":
         return backend
-    return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+    if jax.devices()[0].platform == "cpu":
+        return "xla"
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and mesh.size > 1:
+            return "xla"
+    except AttributeError:  # older jax: no ambient-mesh API
+        pass
+    return "pallas"
 
 
 def _mahal_cm_primal(R_cm, O_cm, y_cm, jitter, backend):

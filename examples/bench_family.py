@@ -48,7 +48,10 @@ def timeit(fn, R, O, y):
     @jax.jit
     def loop(R, O, y, c):
         def body(i, acc):
-            out = fn(R * (c + 1e-9 * i.astype(R.dtype)), O, y)
+            # perturb the (small) RHS so XLA cannot hoist the solve;
+            # perturbing R would add a ~100 MB copy per iteration
+            # (matches bench.py's methodology)
+            out = fn(R, O, y * (c + 1e-9 * i.astype(R.dtype)))
             leaves = jax.tree.leaves(out)
             return acc + sum(jnp.ravel(l)[0] for l in leaves)
         return jax.lax.fori_loop(0, K, body, jnp.zeros((), R.dtype))
@@ -60,6 +63,18 @@ def timeit(fn, R, O, y):
         float(loop(R, O, y, 1.0 + i * 1e-6))
         times.append((time.time() - t0) / K)
     return float(np.median(times) * 1e3)
+
+
+def make_system_nat(n, d, dtype=np.float32, seed=0):
+    """The same system in the NATURAL [N, d, d] layout -- what an
+    external user of the solver library hands to pt.solve_and_logdet
+    (the timing includes the chunk-major relayout passes)."""
+    rng = np.random.RandomState(seed)
+    q = rng.randn(n, d, d).astype(dtype)
+    diag = q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d, dtype=dtype)
+    off = (rng.randn(n - 1, d, d) / d).astype(dtype)
+    y = rng.randn(n, d).astype(dtype)
+    return jnp.asarray(diag), jnp.asarray(off), jnp.asarray(y)
 
 
 def main():
@@ -84,6 +99,24 @@ def main():
             print(json.dumps({
                 "metric": f"{name}_n1e6_d{d}", "value": round(ms, 3),
                 "unit": "ms", "backend": backend}), flush=True)
+        if "--natural" in sys.argv or d == 5:
+            # the library-API entry: natural [N, d, d] inputs, relayout
+            # included (VERDICT r2 #6)
+            diag, off, yv = make_system_nat(N, d)
+            try:
+                ms = timeit(
+                    lambda Rn, On, yn: pt.solve_and_logdet(
+                        Rn, On, yn, backend=backend),
+                    diag, off, yv)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(json.dumps({
+                    "metric": f"solve_logdet_natural_n1e6_d{d}",
+                    "backend": backend, "error": str(e)[:120]}), flush=True)
+            else:
+                print(json.dumps({
+                    "metric": f"solve_logdet_natural_n1e6_d{d}",
+                    "value": round(ms, 3), "unit": "ms",
+                    "backend": backend}), flush=True)
 
 
 if __name__ == "__main__":
