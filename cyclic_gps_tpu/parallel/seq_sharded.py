@@ -81,7 +81,8 @@ def _halo_shifts(axis: str):
     )
 
 
-def _partitioned_fused_local(R, O, yt, axis: str, jitter: float):
+def _partitioned_fused_local(R, O, yt, axis: str, jitter: float,
+                             parts: bool = False):
     """Shard-local fused (mahal, logdet) via the PARTITIONED engine.
 
     R, O: [d, d, m] local element-major blocks (m = N/P, a power of two;
@@ -135,6 +136,12 @@ def _partitioned_fused_local(R, O, yt, axis: str, jitter: float):
         sb.from_em(Rg), sb.from_em(Og)[: nrem - 1], sb.vec_from_em(yg),
         None, jitter,
     )
+    if parts:
+        # per-shard partial contributions (psum(parts) == total): the
+        # replicated terminal term is charged to shard 0 only.  This is
+        # the custom-VJP boundary -- see _mahal_parts_diff.
+        is0 = (jax.lax.axis_index(axis) == 0).astype(R.dtype)
+        return mh + is0 * mh_t, ld + is0 * ld_t
     return jax.lax.psum(mh, axis) + mh_t, jax.lax.psum(ld, axis) + ld_t
 
 
@@ -211,6 +218,328 @@ def mahal_and_logdet(
 
 
 # ---------------------------------------------------------------------------
+# Sequence-sharded SOLVE and SELECTED INVERSION (round 3).
+#
+# Same level structure as `_partitioned_fused_local`, but each elimination
+# level additionally stores its back-substitution factors; after the
+# replicated terminal solve, the levels are walked back UP, the chunk
+# boundary values crossing shard edges as ONE-BLOCK ppermutes (the
+# `shift_up` halo -- the mirror image of the forward sweep's W1 terms).
+# This is what makes multi-chip posteriors possible: solve -> posterior
+# mean, Takahashi -> marginal covariances, and together they form the
+# analytic VJP of the sharded likelihood (one solve + one selected
+# inversion, O(1) stored state -- the same backward the single-chip
+# engine uses, ops/partitioned.py:_mahal_cm_bwd).
+# ---------------------------------------------------------------------------
+
+
+def _plan_chunk(m: int) -> int:
+    """Largest usable chunk length <= 128 dividing m (0 if none)."""
+    s = min(128, m // 2)
+    while s > 1 and m % s:
+        s -= 1
+    return s if s >= 2 else 0
+
+
+def _eliminate_levels(R, O, yt, axis: str, jitter: float, collect: str):
+    """Run elimination levels shard-local, collecting per-level
+    back-substitution state.  Returns (levels, R, O, yt, ld_local):
+    levels is a list of dicts with the chunk-major inputs' metadata, the
+    sweep state, W1, and the collected stacks for the upward walk."""
+    d = R.shape[0]
+    psize = jax.lax.axis_size(axis)
+    shifts = _halo_shifts(axis)
+    ld = jnp.zeros((), R.dtype)
+    levels = []
+    while psize * R.shape[-1] > max(256, 4 * psize):
+        m = R.shape[-1]
+        s = _plan_chunk(m)
+        if not s:
+            break
+        c_loc = m // s
+        R_cm = jnp.transpose(R.reshape(d, d, c_loc, s), (3, 0, 1, 2))
+        O_cm = jnp.transpose(O.reshape(d, d, c_loc, s), (3, 0, 1, 2))
+        y_cm = jnp.transpose(yt.reshape(d, c_loc, s), (2, 0, 1))
+        state, w1, stacked = pt._forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                               collect=collect)
+        levels.append(dict(s=s, c_loc=c_loc, state=state, w1=w1,
+                           stacked=stacked))
+        s11 = sb.matmul(w1, w1, ta=True)
+        R = R_cm[0] - state.acc00 - shifts.shift_down(s11)
+        O = -sb.matmul(w1, state.w0, ta=True)
+        yt = y_cm[0] - state.accy0 - shifts.shift_down(
+            sb.matvec(w1, state.w, ta=True)
+        )
+        ld = ld + 2.0 * state.ld
+    return levels, R, O, yt, ld
+
+
+def _local_slice_nat(x_nat, m_loc, axis: str):
+    """Slice this shard's rows out of a replicated natural-order array."""
+    idx = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(x_nat, idx * m_loc, m_loc, axis=0)
+
+
+def _solve_local(R, O, yt, axis: str, jitter: float):
+    """Shard-local (J^{-1} y, log|J|): elimination levels down, replicated
+    terminal solve, back-substitution levels up (boundary values cross
+    shard edges via shift_up halos).  Returns (x [d, m] element-major
+    local, replicated logdet)."""
+    shifts = _halo_shifts(axis)
+    levels, R, O, yt, ld = _eliminate_levels(R, O, yt, axis, jitter,
+                                             collect="solve")
+    m_rem = R.shape[-1]
+    Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
+    Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
+    yg = jax.lax.all_gather(yt, axis, axis=1, tiled=True)
+    nrem = Rg.shape[-1]
+    x_top, red_ld = pt._solve_impl(
+        sb.from_em(Rg), sb.from_em(Og)[: nrem - 1], sb.vec_from_em(yg),
+        None, jitter,
+    )  # replicated [nrem, d]
+    ld = jax.lax.psum(ld, axis) + red_ld
+    x = sb.vec_to_em(_local_slice_nat(x_top, m_rem, axis))  # [d, m_rem]
+
+    for lv in reversed(levels):
+        s, c_loc = lv["s"], lv["c_loc"]
+        state, w1 = lv["state"], lv["w1"]
+        hat_cs, hat_w0s, hat_ws = lv["stacked"]
+        xb = x  # [d, c_loc] boundary solutions of this level's chunks
+        xb_next = shifts.shift_up(xb)  # next chunk boundary (halo right)
+
+        hat_w1 = sb.solve_lower_t(state.dj, state.invd, w1)
+        hat_w0_l = sb.solve_lower_t(state.dj, state.invd, state.w0)
+        hat_w_l = sb.solve_lower_t_vec(state.dj, state.invd, state.w)
+        x_last = (hat_w_l - sb.matvec(hat_w0_l, xb)
+                  - sb.matvec(hat_w1, xb_next))
+        if s > 2:
+            def back(x_next, inp):
+                hc, hw0, hw = inp
+                x_j = hw - sb.matvec(hw0, xb) - sb.matvec(hc, x_next)
+                return x_j, x_j
+
+            inps = jax.tree.map(lambda a: a[:-1],
+                                (hat_cs, hat_w0s, hat_ws))
+            _, xs_rev = jax.lax.scan(back, x_last, inps, reverse=True)
+            interior = jnp.concatenate([xs_rev, x_last[None]], axis=0)
+        else:
+            interior = x_last[None]
+        x_cm = jnp.concatenate([xb[None], interior], axis=0)  # [s, d, c]
+        # natural local order: index i = c*s + j -> [d, c_loc*s]
+        x = jnp.transpose(x_cm, (1, 2, 0)).reshape(x_cm.shape[1], -1)
+    return x, ld
+
+
+def _inverse_local(R, O, axis: str, jitter: float):
+    """Shard-local selected inversion: (diag [d, d, m], off [d, d, m]
+    element-major local; off[..., i] = Sigma_{i+1, i} with the trailing
+    entry crossing the shard edge, zero at the global end)."""
+    d = R.shape[0]
+    shifts = _halo_shifts(axis)
+    yt = jnp.zeros((d, R.shape[-1]), dtype=R.dtype)
+    levels, R, O, yt, _ = _eliminate_levels(R, O, yt, axis, jitter,
+                                            collect="inverse")
+    m_rem = R.shape[-1]
+    Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
+    Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
+    nrem = Rg.shape[-1]
+    bb_diag, bb_off = pt._inverse_impl(
+        sb.from_em(Rg), sb.from_em(Og)[: nrem - 1], None, jitter
+    )  # replicated [nrem, d, d], [nrem-1, d, d]
+    bb_off = jnp.concatenate(
+        [bb_off, jnp.zeros((1, d, d), dtype=bb_off.dtype)], axis=0
+    )
+    diag_loc = sb.to_em(_local_slice_nat(bb_diag, m_rem, axis))
+    off_loc = sb.to_em(_local_slice_nat(bb_off, m_rem, axis))
+
+    for lv in reversed(levels):
+        s, c_loc = lv["s"], lv["c_loc"]
+        state, w1 = lv["state"], lv["w1"]
+        ds, invds, cs_, w0s = lv["stacked"]
+        p00 = diag_loc              # Sigma_{b_c, b_c}        [d, d, c]
+        p10 = off_loc               # Sigma_{b_{c+1}, b_c}
+        p11 = shifts.shift_up(p00)  # next boundary diag (halo right)
+        p01 = sb.transpose(p10)
+
+        def sigma_bb_ut(u0, u1):
+            a0 = sb.matmul(p00, u0, tb=True) + sb.matmul(p01, u1, tb=True)
+            a1 = sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+            return a0, a1
+
+        d_last, invd_last, w0_last = state.dj, state.invd, state.w0
+        di_last = sb.tri_lower_inverse(d_last, invd_last)
+        phi = sb.matmul(di_last, di_last, ta=True)
+        u0 = sb.solve_lower_t(d_last, invd_last, w0_last)
+        u1 = sb.solve_lower_t(d_last, invd_last, w1)
+        a0, a1 = sigma_bb_ut(u0, u1)
+        diag_last = phi + sb.matmul(u0, a0) + sb.matmul(u1, a1)
+        off_edge_right = -(
+            sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+        )
+
+        def back(carry, inp):
+            phi_n, u0_n, u1_n, a0_n, a1_n = carry
+            d_j, invd_j, c_j, w0_j = inp
+            di = sb.tri_lower_inverse(d_j, invd_j)
+            cd = sb.matmul(c_j, di)
+            phi_off = -sb.matmul(phi_n, cd)
+            phi_j = sb.matmul(di, di, ta=True) + sb.matmul(
+                sb.matmul(cd, phi_n, ta=True), cd
+            )
+            u0_j = sb.solve_lower_t(
+                d_j, invd_j, w0_j - sb.matmul(c_j, u0_n, ta=True)
+            )
+            u1_j = -sb.solve_lower_t(
+                d_j, invd_j, sb.matmul(c_j, u1_n, ta=True)
+            )
+            a0_j, a1_j = sigma_bb_ut(u0_j, u1_j)
+            diag_j = phi_j + sb.matmul(u0_j, a0_j) + sb.matmul(u1_j, a1_j)
+            off_j = phi_off + sb.matmul(u0_n, a0_j) + sb.matmul(u1_n, a1_j)
+            return (phi_j, u0_j, u1_j, a0_j, a1_j), (diag_j, off_j)
+
+        if s > 2:
+            inps = jax.tree.map(lambda a: a[:-1], (ds, invds, cs_, w0s))
+            (phi, u0, u1, a0, a1), (diag_mid, off_mid) = jax.lax.scan(
+                back, (phi, u0, u1, a0, a1), inps, reverse=True
+            )
+            diag_int = jnp.concatenate([diag_mid, diag_last[None]], axis=0)
+            off_int = off_mid
+        else:
+            diag_int = diag_last[None]
+            off_int = jnp.zeros((0, d, d, c_loc), dtype=R.dtype)
+
+        off_edge_left = -(sb.matmul(u0, p00) + sb.matmul(u1, p10))
+        diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
+        off_cm = jnp.concatenate(
+            [off_edge_left[None], off_int, off_edge_right[None]], axis=0
+        )
+        diag_loc = jnp.transpose(diag_cm, (1, 2, 3, 0)).reshape(d, d, -1)
+        off_loc = jnp.transpose(off_cm, (1, 2, 3, 0)).reshape(d, d, -1)
+    return diag_loc, off_loc
+
+
+def solve(
+    diag: Array, off: Array, y: Array, mesh: Mesh, axis: str = "seq",
+    jitter: float = 0.0,
+) -> Tuple[Array, Array]:
+    """Sequence-sharded (J^{-1} y, log|J|): the multi-chip counterpart of
+    `pt.solve_and_logdet` (exact match, tests/test_parallel.py).  diag
+    [N, d, d], off [N-1, d, d], y [N, d]; N divisible by the mesh size."""
+    n, d, _ = diag.shape
+    _check_shard(n, mesh, axis)
+    R = sb.to_em(diag)
+    O = jnp.concatenate(
+        [sb.to_em(off), jnp.zeros((d, d, 1), dtype=diag.dtype)], axis=-1
+    )
+    yt = sb.vec_to_em(y)
+
+    def local(R, O, yt):
+        x, ld = _solve_local(R, O, yt, axis, jitter)
+        return sb.vec_from_em(x), ld
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, None, axis), P(None, None, axis), P(None, axis)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+    )
+    return fn(R, O, yt)
+
+
+def inverse_blocks(
+    diag: Array, off: Array, mesh: Mesh, axis: str = "seq",
+    jitter: float = 0.0,
+) -> Tuple[Array, Array]:
+    """Sequence-sharded selected inversion: (Sigma_ii [N, d, d],
+    Sigma_{i+1,i} [N-1, d, d]) of the block-tridiagonal J^{-1} -- the
+    multi-chip `pt.inverse_blocks`."""
+    n, d, _ = diag.shape
+    _check_shard(n, mesh, axis)
+    R = sb.to_em(diag)
+    O = jnp.concatenate(
+        [sb.to_em(off), jnp.zeros((d, d, 1), dtype=diag.dtype)], axis=-1
+    )
+
+    def local(R, O):
+        dg, of = _inverse_local(R, O, axis, jitter)
+        return sb.from_em(dg), sb.from_em(of)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, None, axis), P(None, None, axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+    dg, of = fn(R, O)
+    return dg, of[: n - 1]
+
+
+def _check_shard(n: int, mesh: Mesh, axis: str) -> None:
+    psize = mesh.shape[axis]
+    if n & (n - 1):
+        raise ValueError("sequence sharding requires power-of-two N")
+    if n % psize:
+        raise ValueError("N must divide the mesh axis size")
+
+
+# ---------------------------------------------------------------------------
+# Analytic VJP for the sharded fused (mahal, logdet): backward = one
+# sharded solve + one sharded selected inversion (O(1) stored state) --
+# the multi-chip twin of ops/partitioned._mahal_cm_bwd.  Without this,
+# autodiff differentiates through every level's lax.scan and stores each
+# step's factorization.
+#
+# The custom_vjp boundary sits at the PER-SHARD PARTIAL contributions
+# (parts=True), not the psummed totals: shard_map's transpose under
+# check_vma=False delivers a replicated output's cotangent to an opaque
+# custom_vjp divided by the axis size (measured; plain autodiff through
+# the same psum is correct).  Keeping the psum OUTSIDE the custom rule
+# makes the incoming cotangents the true (replicated) d loss / d total,
+# for which the analytic local-gradient formula is exact.  Consequence:
+# `_mahal_parts_diff`'s outputs are only valid consumed through a psum.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mahal_parts_diff(R, O, yt, axis, jitter):
+    return _partitioned_fused_local(R, O, yt, axis, jitter, parts=True)
+
+
+def _mahal_parts_fwd(R, O, yt, axis, jitter):
+    return _mahal_parts_diff(R, O, yt, axis, jitter), (R, O, yt)
+
+
+def _mahal_parts_bwd(axis, jitter, res, cots):
+    R, O, yt = res
+    gm, gl = cots  # replicated: true cotangents of the psummed totals
+    shifts = _halo_shifts(axis)
+    x, _ = _solve_local(R, O, yt, axis, jitter)          # [d, m] local
+    sig_diag, sig_off = _inverse_local(R, O, axis, jitter)
+    x_next = shifts.shift_up(x[:, None, :])[:, 0, :]     # x_{i+1} (halo)
+    xo = x[:, None, :] * x[None, :, :]
+    xo_off = x_next[:, None, :] * x[None, :, :]
+    g_R = gl * sig_diag - gm * xo
+    g_O = 2.0 * (gl * sig_off - gm * xo_off)
+    g_y = 2.0 * gm * x
+    return g_R, g_O, g_y
+
+
+_mahal_parts_diff.defvjp(_mahal_parts_fwd, _mahal_parts_bwd)
+
+
+def _mahal_local_diff(R, O, yt, axis, jitter):
+    """Shard-local fused (mahal, logdet), replicated outputs, with the
+    ANALYTIC backward (one sharded solve + one sharded selected
+    inversion)."""
+    mh, ld = _mahal_parts_diff(R, O, yt, axis, jitter)
+    return jax.lax.psum(mh, axis), jax.lax.psum(ld, axis)
+
+
+# ---------------------------------------------------------------------------
 # Sequence-sharded LEG log-likelihood (single series sharded along time).
 # ---------------------------------------------------------------------------
 
@@ -266,7 +595,10 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
     return diag_em, off_em, sig_logdet_local
 
 
-def _log_likelihood_local(params, ts_loc, xs_loc, axis: str):
+def _posterior_system_local(params, ts_loc, xs_loc, axis: str):
+    """Shard-local posterior-precision system: (k_diag_em, k_off_em,
+    v_em) plus the scalars (llt_mahal, llt_logdet, sig_logdet) the
+    likelihood assembly needs."""
     llt = leg.lambda_lambda_t(params)
     g = leg.g_matrix(params)
     num_obs = jax.lax.psum(ts_loc.shape[0], axis)
@@ -284,10 +616,21 @@ def _log_likelihood_local(params, ts_loc, xs_loc, axis: str):
 
     bt_llt_inv_b = params.b.T @ jnp.linalg.solve(llt, params.b)
     k_diag_em = sig_diag_em + bt_llt_inv_b[:, :, None]
-    k_mahal, k_logdet = _partitioned_fused_local(
-        k_diag_em, sig_off_em, sb.vec_to_em(v), axis, 0.0
-    )
+    return (k_diag_em, sig_off_em, sb.vec_to_em(v),
+            llt_mahal, llt_logdet, sig_logdet)
 
+
+def _log_likelihood_local(params, ts_loc, xs_loc, axis: str):
+    (k_diag_em, k_off_em, v_em,
+     llt_mahal, llt_logdet, sig_logdet) = _posterior_system_local(
+        params, ts_loc, xs_loc, axis
+    )
+    # analytic custom VJP: the backward is one sharded solve + one
+    # sharded selected inversion (O(1) residuals) instead of autodiff
+    # through every level's scan
+    k_mahal, k_logdet = _mahal_local_diff(
+        k_diag_em, k_off_em, v_em, axis, 0.0
+    )
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_logdet
     return -0.5 * (mahal + logdet)
@@ -303,14 +646,12 @@ def log_likelihood(
     """Sequence-sharded LEG marginal log-likelihood (exact).
 
     N must be a power of two divisible by the mesh axis size.
+    Differentiable with the ANALYTIC backward (one sharded solve + one
+    sharded selected inversion, O(1) stored state) -- gradients match the
+    single-device likelihood (tests/test_parallel.py).
     """
     n = ts.shape[0]
-    psize = mesh.shape[axis]
-    if n & (n - 1) or n % psize:
-        raise ValueError(
-            "sequence-sharded likelihood requires power-of-two N divisible "
-            "by the mesh size"
-        )
+    _check_shard(n, mesh, axis)
     fn = jax.jit(
         jax.shard_map(
             partial(_log_likelihood_local, axis=axis),
@@ -321,3 +662,68 @@ def log_likelihood(
         )
     )
     return fn(params, ts, xs)
+
+
+def posterior_mean(
+    params: leg.LEGParams,
+    ts: Array,
+    xs: Array,
+    mesh: Mesh,
+    axis: str = "seq",
+) -> Array:
+    """Sequence-sharded posterior mean of the latent z [N, rank]: the
+    multi-chip `leg.posterior_mean` (precision route) -- posteriors no
+    longer bounded by one chip's HBM."""
+    _check_shard(ts.shape[0], mesh, axis)
+
+    def local(params, ts_loc, xs_loc):
+        k_diag_em, k_off_em, v_em, _, _, _ = _posterior_system_local(
+            params, ts_loc, xs_loc, axis
+        )
+        x, _ = _solve_local(k_diag_em, k_off_em, v_em, axis, 0.0)
+        return sb.vec_from_em(x)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+    return fn(params, ts, xs)
+
+
+def insample_posterior(
+    params: leg.LEGParams,
+    ts: Array,
+    xs: Array,
+    mesh: Mesh,
+    axis: str = "seq",
+) -> Tuple[Array, Array, Array]:
+    """Sequence-sharded in-sample posterior: (mean [N, r], marginal
+    covariances [N, r, r], lag-1 cross-covariances [N-1, r, r]) -- the
+    multi-chip `leg.insample_posterior` (precision route: sharded solve +
+    sharded Takahashi selected inversion)."""
+    n = ts.shape[0]
+    _check_shard(n, mesh, axis)
+
+    def local(params, ts_loc, xs_loc):
+        k_diag_em, k_off_em, v_em, _, _, _ = _posterior_system_local(
+            params, ts_loc, xs_loc, axis
+        )
+        x, _ = _solve_local(k_diag_em, k_off_em, v_em, axis, 0.0)
+        cov_d, cov_o = _inverse_local(k_diag_em, k_off_em, axis, 0.0)
+        return sb.vec_from_em(x), sb.from_em(cov_d), sb.from_em(cov_o)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None, None),
+                       P(axis, None, None)),
+            check_vma=False,
+        )
+    )
+    mean, cov_diag, cov_off = fn(params, ts, xs)
+    return mean, cov_diag, cov_off[: n - 1]
