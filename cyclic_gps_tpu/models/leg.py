@@ -414,53 +414,63 @@ def _peg_precision_em_regular(g: Array, dt: Array, num_obs: int):
     return diag, off, -logdet_prior
 
 
-@_highest_precision
-def _k_system_chunked(params: LEGParams, ts: Array, xs: Array, s: int,
-                      regular: bool):
-    """Posterior-precision system K = Sigma^{-1} + I (x) B^T LLT^{-1} B
-    emitted DIRECTLY in the partitioned engine's chunk-major layout
-    ([s, r, r, C] / [s, r, C]), plus log|Sigma^{-1}|.
+def _gap_terms_dense(g: Array):
+    """Gap-emission closure for a DENSE generator: diffs [M] ->
+    (off1, d_left, d_right [r, r, M] element-major, log|Q1| per gap [M]).
+    The pluggable interface `_k_system_chunked` consumes — structured
+    families (models/celerite.py) supply closed-form equivalents that
+    bypass the Pade pipeline entirely."""
 
-    The precision blocks are elementwise functions of the gaps, so any
-    layout is free to construct: natural index i = c*s + j lives at
-    [j, ..., c], padding blocks are exactly identity / zero, and the
-    neighbour term d_left[i-1] is a shift down the step axis with a
-    chunk-crossing row from the previous chunk.  This skips the
-    [N, d, d] -> chunk-major relayout passes of the array API entirely.
-    """
-    rank = params.rank
-    g = g_matrix(params)
-    llt = lambda_lambda_t(params)
-    n = ts.shape[0]
-    c = -(-n // s)
+    def fn(diffs):
+        e, q1 = transition_and_noise_em(g, diffs)
+        off1, d_left, d_right, l1 = _q1_terms(e, q1)
+        logq1 = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(l1, axis1=0, axis2=1)), axis=1
+        )
+        return off1, d_left, d_right, logq1
+
+    return fn
+
+
+def _chunk_gap_geometry(ts: Array, s: int, n: int, c: int, dtype):
+    """Chunk-major gap geometry: (diffs [s, C], gap_valid [s, C],
+    is_real [s, C]).  Natural index i = c*s + j lives at [j, c]; padded
+    gaps are 1 (harmless), the last real gap is masked by gap_valid."""
     m = c * s
-    dtype = g.dtype
-
-    # chunk-major timestamps and gap validity
     ts_pad = jnp.concatenate(
         [ts, jnp.zeros((m - n,), dtype=ts.dtype)]
     ).reshape(c, s).T  # [s, C]
     idx = (jnp.arange(s)[:, None] + s * jnp.arange(c)[None, :])  # [s, C]
     gap_valid = (idx < n - 1).astype(dtype)
     is_real = (idx < n).astype(dtype)
-
     # next timestamp in natural order: [j+1, c], wrapping to [0, c+1]
     next_row = jnp.concatenate(
         [ts_pad[:1, 1:], jnp.zeros((1, 1), dtype=ts.dtype)], axis=1
     )
     ts_next = jnp.concatenate([ts_pad[1:], next_row], axis=0)
-    diffs = (ts_next - ts_pad) * gap_valid + (1.0 - gap_valid)  # pad gap 1
+    diffs = (ts_next - ts_pad) * gap_valid + (1.0 - gap_valid)
+    return diffs, gap_valid, is_real
 
+
+def _k_gap_parts_xla(g_or_gapfn, boost, ts, s, regular, rank, dtype):
+    """(k_cm [s, r, r, C], off_cm, sig_logdet): the gap-dependent part of
+    the chunk-major K system, XLA assembly.  ``g_or_gapfn`` is either a
+    dense generator (dense gap emission) or a gap_fn closure."""
+    gap_fn = (g_or_gapfn if callable(g_or_gapfn)
+              else _gap_terms_dense(g_or_gapfn))
+    n = ts.shape[0]
+    c = -(-n // s)
+    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype)
+
+    # off/d_left/d_right from Q1 alone (push-through identity; no second
+    # Van Loan exponential for G^T) -- see _q1_terms / _gap_terms_dense
     if regular:
         dt = ts[1] - ts[0]
-        e, q1 = transition_and_noise_em(
-            g, jnp.full((1,), dt, dtype=dtype)
+        off1, d_left, d_right, logq1 = gap_fn(
+            jnp.full((1,), dt, dtype=dtype)
         )
     else:
-        e, q1 = transition_and_noise_em(g, diffs.reshape(-1))
-    # off/d_left/d_right from Q1 alone (push-through identity; no second
-    # Van Loan exponential for G^T) -- see _q1_terms
-    off1, d_left, d_right, l1 = _q1_terms(e, q1)
+        off1, d_left, d_right, logq1 = gap_fn(diffs.reshape(-1))
 
     def cm(x):  # [r, r, s*C] -> [s, r, r, C] (broadcasting the regular case)
         if x.shape[-1] == 1:
@@ -479,32 +489,128 @@ def _k_system_chunked(params: LEGParams, ts: Array, xs: Array, s: int,
     d_left_shifted = jnp.concatenate([wrap, d_left_cm[:-1]], axis=0)
 
     eye = jnp.eye(rank, dtype=dtype)[None, :, :, None]
-    boost = (params.b.T @ jnp.linalg.solve(llt, params.b))[None, :, :, None]
     k_cm = (
         eye
         + d_left_shifted
         + d_right_cm
-        + boost * is_real[:, None, None, :]
+        + boost[None, :, :, None] * is_real[:, None, None, :]
     )
 
     # log|Sigma^{-1}| = -sum over REAL gaps of log|Q1|
     if regular:
-        sig_logdet = -2.0 * (n - 1) * sb.chol_log_diag_sum(l1)
+        sig_logdet = -(n - 1) * logq1[0]
     else:
-        ldiag = jnp.log(
-            jnp.diagonal(l1, axis1=0, axis2=1)
-        )  # [s*C, r]
-        sig_logdet = -2.0 * jnp.sum(
-            ldiag * gap_valid.reshape(-1)[:, None]
+        sig_logdet = -jnp.sum(logq1 * gap_valid.reshape(-1))
+    return k_cm, off_cm, sig_logdet
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _k_gap_parts_pallas(g: Array, boost: Array, ts: Array, s: int):
+    """Fused-kernel version of `_k_gap_parts_xla` (irregular, dense G,
+    TPU f32): ONE Pallas pass emits (k_cm, off_cm) chunk-major with the
+    chunk axis padded to the kernel tile (identity/zero chunks -- exact
+    for the partitioned solver).  Gradients replay the XLA assembly."""
+    from cyclic_gps_tpu.ops.expm_pallas import (k_system_pallas,
+                                                transition_and_noise_pallas)
+
+    rank = g.shape[0]
+    dtype = g.dtype
+    n = ts.shape[0]
+    c = -(-n // s)
+    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype)
+
+    # chunk-crossing d_left row (gap c*s - 1 feeds point c*s = row 0 of
+    # chunk c): C gaps through the tn kernel + the XLA q1 sweep, then a
+    # one-lane shift right (zeros into chunk 0)
+    e_w, q_w = transition_and_noise_pallas(g, diffs[s - 1])
+    _, dl_w, _, _ = _q1_terms(e_w, q_w)
+    dl_w = dl_w * gap_valid[s - 1][None, None, :]
+    wrap = jnp.concatenate(
+        [jnp.zeros((rank, rank, 1), dtype=dtype), dl_w[:, :, :-1]], axis=-1
+    )
+    k_cm, off_cm, logq1_sum = k_system_pallas(
+        g, boost, diffs, gap_valid, is_real, wrap
+    )
+    # the kernel accumulates +sum log|Q1|; sig_logdet = -sum (Markov
+    # factorisation, matching _k_gap_parts_xla)
+    return k_cm, off_cm, -logq1_sum
+
+
+def _k_gap_parts_pallas_fwd(g, boost, ts, s):
+    return _k_gap_parts_pallas(g, boost, ts, s), (g, boost, ts)
+
+
+def _k_gap_parts_pallas_bwd(s, res, cots):
+    g, boost, ts = res
+    gk, goff, gld = cots
+    n = ts.shape[0]
+    c = -(-n // s)
+
+    def xla(g_, boost_, ts_):
+        return _k_gap_parts_xla(g_, boost_, ts_, s, False, g.shape[0],
+                                g.dtype)
+
+    _, vjp = jax.vjp(xla, g, boost, ts)
+    # the Pallas outputs carry kernel-tile padding chunks whose values
+    # are input-independent constants -- their cotangents drop exactly
+    return vjp((gk[..., :c], goff[..., :c], gld))
+
+
+_k_gap_parts_pallas.defvjp(_k_gap_parts_pallas_fwd, _k_gap_parts_pallas_bwd)
+
+
+@_highest_precision
+def _k_system_chunked(params, ts: Array, xs: Array, s: int,
+                      regular: bool, gap_fn=None):
+    """Posterior-precision system K = Sigma^{-1} + I (x) B^T LLT^{-1} B
+    emitted DIRECTLY in the partitioned engine's chunk-major layout
+    ([s, r, r, C] / [s, r, C]), plus log|Sigma^{-1}|.
+
+    The precision blocks are elementwise functions of the gaps, so any
+    layout is free to construct: natural index i = c*s + j lives at
+    [j, ..., c], padding blocks are exactly identity / zero, and the
+    neighbour term d_left[i-1] is a shift down the step axis with a
+    chunk-crossing row from the previous chunk.  This skips the
+    [N, d, d] -> chunk-major relayout passes of the array API entirely.
+    On TPU at float32 with a dense generator and an irregular grid, the
+    whole gap emission runs as ONE fused Pallas kernel
+    (ops/expm_pallas.k_system_pallas) -- HBM traffic drops to
+    read-dt + write-(K, off).
+
+    ``params`` needs only .rank/.b/.lambda_params (+ generator params
+    when ``gap_fn`` is None); ``gap_fn`` overrides the gap emission
+    (see `_gap_terms_dense`).
+    """
+    rank = params.rank
+    llt = lambda_lambda_t(params)
+    n = ts.shape[0]
+    c = -(-n // s)
+    m = c * s
+    dtype = llt.dtype
+    boost = params.b.T @ jnp.linalg.solve(llt, params.b)
+
+    use_pallas = (
+        gap_fn is None and not regular and dtype == jnp.float32
+        and pt.resolve_backend("auto") == "pallas"
+    )
+    if use_pallas:
+        k_cm, off_cm, sig_logdet = _k_gap_parts_pallas(
+            g_matrix(params), boost, ts, s
+        )
+    else:
+        k_cm, off_cm, sig_logdet = _k_gap_parts_xla(
+            gap_fn if gap_fn is not None else g_matrix(params),
+            boost, ts, s, regular, rank, dtype,
         )
 
-    # v in chunk-major order
+    # v in chunk-major order, padded to the emitted chunk width
+    cw = k_cm.shape[-1]
     x_llt_inv = jnp.linalg.solve(llt, xs.T).T
     v = x_llt_inv @ params.b  # [N, rank]
     v_pad = jnp.concatenate(
-        [v, jnp.zeros((m - n, rank), dtype=dtype)], axis=0
+        [v, jnp.zeros((cw * s - n, rank), dtype=dtype)], axis=0
     )
-    v_cm = jnp.transpose(v_pad.reshape(c, s, rank), (1, 2, 0))  # [s, r, C]
+    v_cm = jnp.transpose(v_pad.reshape(cw, s, rank), (1, 2, 0))
     return k_cm, off_cm, v_cm, sig_logdet
 
 
@@ -718,6 +824,27 @@ def _interpolate(rank, eg1, eg2, prev_mean, prev_cov, prev_cross, next_mean,
     return gaussian_stitch(joint_mean, joint_cov, joint_ip_mean, joint_ip_cov)
 
 
+def _intercast_geometry(ts: Array, target_ts: Array, thresh: float):
+    """(idx masks, neighbour indices, clamped gaps) shared by both
+    intercast implementations."""
+    n = ts.shape[0]
+    idx = jnp.searchsorted(ts, target_ts)
+    is_back = idx == 0
+    is_fwd = idx == n
+    hit_first = jnp.abs(target_ts - ts[0]) <= thresh
+    hit_last = jnp.abs(target_ts - ts[-1]) <= thresh
+    prev_i = jnp.clip(idx - 1, 0, n - 1)
+    next_i = jnp.clip(idx, 0, n - 1)
+    off_i = jnp.clip(idx - 1, 0, max(n - 2, 0))
+    # Time gaps, clamped nonnegative so unused branches stay finite.
+    d_back = jnp.maximum(ts[0] - target_ts, 0.0)
+    d_fwd = jnp.maximum(target_ts - ts[-1], 0.0)
+    d1 = jnp.maximum(target_ts - ts[prev_i], 0.0)
+    d2 = jnp.maximum(ts[next_i] - target_ts, 0.0)
+    return (is_back, is_fwd, hit_first, hit_last, prev_i, next_i, off_i,
+            d_back, d_fwd, d1, d2)
+
+
 @jax.jit
 @_highest_precision
 def intercast(
@@ -736,31 +863,128 @@ def intercast(
     and a masked select over the three regimes (backward forecast, forward
     forecast, interpolation), with exact passthrough when a target
     coincides with the first/last observation time.
+
+    FULLY ELEMENT-MAJOR (round 3): every temporary is [*, *, P] -- the
+    vmapped stitch built [P, 3r, 3r] batch-major temporaries, which TPU
+    tile-pads ~9-40x and which stopped dense prediction grids (P ~ 1e6)
+    from fitting in HBM.  The interpolation stitch solves its 2r x 2r
+    conditioning system with the element-major Cholesky (Sigma_xx is PD:
+    ||expm(-dG/2)|| < 1), and the forecast stitches reduce to closed
+    forms because their conditioning covariance is the identity:
+    T = eG, cov = I - eG eG^T + eG S eG^T.  `_intercast_batched` keeps
+    the per-target reference implementation as the parity oracle.
     """
     rank = params.rank
     g = g_matrix(params)
-    n = ts.shape[0]
+    dtype = g.dtype
+    p = target_ts.shape[0]
 
-    idx = jnp.searchsorted(ts, target_ts)
-    is_back = idx == 0
-    is_fwd = idx == n
-    hit_first = jnp.abs(target_ts - ts[0]) <= thresh
-    hit_last = jnp.abs(target_ts - ts[-1]) <= thresh
-
-    prev_i = jnp.clip(idx - 1, 0, n - 1)
-    next_i = jnp.clip(idx, 0, n - 1)
-    off_i = jnp.clip(idx - 1, 0, max(n - 2, 0))
-
-    # Time gaps, clamped nonnegative so unused branches stay finite.
-    d_back = jnp.maximum(ts[0] - target_ts, 0.0)
-    d_fwd = jnp.maximum(target_ts - ts[-1], 0.0)
-    d1 = jnp.maximum(target_ts - ts[prev_i], 0.0)
-    d2 = jnp.maximum(ts[next_i] - target_ts, 0.0)
+    (is_back, is_fwd, hit_first, hit_last, prev_i, next_i, off_i,
+     d_back, d_fwd, d1, d2) = _intercast_geometry(ts, target_ts, thresh)
 
     # All four exponential batches in ONE element-major expm call
     # (ops/expm_em.py): a vmapped jax.scipy expm over [P, r, r] tile-pads
     # ~32x on TPU and OOMs at dense prediction grids (P ~ 1e5+); the
     # element-major form is bounded-memory at any P.
+    from cyclic_gps_tpu.ops.expm_em import expm_em
+
+    gaps = jnp.concatenate([d_back, d_fwd, d1, d2])  # [4P]
+    egs = expm_em(-0.5 * gaps[None, None, :] * g[:, :, None])
+    eg_back = egs[:, :, :p]          # element-major [r, r, P]
+    eg_fwd = egs[:, :, p:2 * p]
+    eg1 = egs[:, :, 2 * p:3 * p]
+    eg2 = egs[:, :, 3 * p:]
+
+    # posterior moments element-major, gathered along the TRAILING axis
+    # (a [P, r, r] batch-major gather would re-create the tile blowup)
+    m_em = sb.vec_to_em(ip_mean)        # [r, N]
+    cd_em = sb.to_em(ip_cov_diag)       # [r, r, N]
+    co_em = sb.to_em(ip_cov_off)        # [r, r, N-1]
+    m_prev = m_em[:, prev_i]
+    m_next = m_em[:, next_i]
+    p_prev = cd_em[:, :, prev_i]
+    p_next = cd_em[:, :, next_i]
+    c_off = co_em[:, :, off_i]          # Cov(z_next, z_prev | x)
+
+    eye = jnp.eye(rank, dtype=dtype)[:, :, None]
+
+    def forecast_em(eg, m_a, p_a):
+        # anchor conditioning covariance is I: T = eg (closed form)
+        mean = sb.matvec(eg, jnp.broadcast_to(m_a, (rank, p)))
+        eg_pa = sb.matmul(eg, jnp.broadcast_to(p_a, (rank, rank, p)))
+        cov = eye - sb.matmul(eg, eg, tb=True) + sb.matmul(eg_pa, eg,
+                                                           tb=True)
+        return mean, cov
+
+    # Backward forecast: Cov(z_target, z_first) = expm(-.5 d G)^T.
+    mean_b, cov_b = forecast_em(sb.transpose(eg_back), m_em[:, :1],
+                                cd_em[:, :, :1])
+    # Forward forecast: Cov(z_target, z_last) = expm(-.5 d G).
+    mean_f, cov_f = forecast_em(eg_fwd, m_em[:, -1:], cd_em[:, :, -1:])
+
+    # Interpolation: condition z_target on (z_prev, z_next).
+    eg3 = sb.matmul(eg1, eg2)
+    eye_b = jnp.broadcast_to(eye, (rank, rank, p))
+    sxx = jnp.concatenate([
+        jnp.concatenate([eye_b, sb.transpose(eg3)], axis=1),
+        jnp.concatenate([eg3, eye_b], axis=1),
+    ], axis=0)                                       # [2r, 2r, P]
+    sxy = jnp.concatenate([sb.transpose(eg1), eg2], axis=0)  # [2r, r, P]
+    L, invd = sb.cholesky(sxx)
+    t_t = sb.solve_lower_t(L, invd, sb.solve_lower(L, invd, sxy))
+    m_x = jnp.concatenate([m_prev, m_next], axis=0)  # [2r, P]
+    mean_i = sb.matvec(t_t, m_x, ta=True)
+    s_x = jnp.concatenate([
+        jnp.concatenate([p_prev, sb.transpose(c_off)], axis=1),
+        jnp.concatenate([c_off, p_next], axis=1),
+    ], axis=0)                                       # [2r, 2r, P]
+    cov_i = (
+        eye - sb.matmul(t_t, sxy, ta=True)
+        + sb.matmul(sb.matmul(t_t, s_x, ta=True), t_t)
+    )
+
+    def select(mask, a_m, a_c, b_m, b_c):
+        # jnp.where, NOT arithmetic masking: boundary-hit lanes make the
+        # interpolation system exactly singular (both anchors coincide),
+        # and 0 * nan would poison the masked-out branch
+        return (jnp.where(mask[None, :], a_m, b_m),
+                jnp.where(mask[None, None, :], a_c, b_c))
+
+    mean, cov = select(is_back, mean_b, cov_b, mean_i, cov_i)
+    mean, cov = select(is_fwd, mean_f, cov_f, mean, cov)
+    # Exact hits on the first/last observation pass through unchanged
+    # (reference models.py:478-479,487-488,495-496).
+    mean, cov = select(hit_first,
+                       jnp.broadcast_to(m_em[:, :1], (rank, p)),
+                       jnp.broadcast_to(cd_em[:, :, :1], (rank, rank, p)),
+                       mean, cov)
+    mean, cov = select(hit_last,
+                       jnp.broadcast_to(m_em[:, -1:], (rank, p)),
+                       jnp.broadcast_to(cd_em[:, :, -1:], (rank, rank, p)),
+                       mean, cov)
+    return sb.vec_from_em(mean), sb.from_em(cov)
+
+
+@jax.jit
+@_highest_precision
+def _intercast_batched(
+    params: LEGParams,
+    ip_mean: Array,
+    ip_cov_diag: Array,
+    ip_cov_off: Array,
+    ts: Array,
+    target_ts: Array,
+    thresh: float = 1e-10,
+) -> Tuple[Array, Array]:
+    """Per-target (vmapped) intercast -- the readable reference
+    implementation `intercast` is tested against (tests/test_models.py).
+    Builds [P, 3r, 3r] batch-major stitches; do not use at dense P."""
+    rank = params.rank
+    g = g_matrix(params)
+
+    (is_back, is_fwd, hit_first, hit_last, prev_i, next_i, off_i,
+     d_back, d_fwd, d1, d2) = _intercast_geometry(ts, target_ts, thresh)
+
     from cyclic_gps_tpu.ops.expm_em import expm_em
 
     p = target_ts.shape[0]
@@ -784,8 +1008,6 @@ def intercast(
         )
         mean = jnp.where(is_back, m_b, jnp.where(is_fwd, m_f, m_i))
         cov = jnp.where(is_back, v_b, jnp.where(is_fwd, v_f, v_i))
-        # Exact hits on the first/last observation pass through unchanged
-        # (reference models.py:478-479,487-488,495-496).
         mean = jnp.where(hit_first, ip_mean[0], mean)
         cov = jnp.where(hit_first, ip_cov_diag[0], cov)
         mean = jnp.where(hit_last, ip_mean[-1], mean)

@@ -7,15 +7,36 @@ kernel -- every Pade term round-trips HBM (~10 GB of traffic at
 N = 1e6, r = 5; measured 140 ms for the augmented expm alone).  This
 kernel computes the whole hybrid construction per lane tile in VMEM:
 
-    e = expm(-0.5 d G)                   (scaling-and-squaring Pade-13)
+    e = expm(-0.5 d G)
     Q = I - e e^T  stably:
-        |dG|/2 < 1:  Van Loan augmented expm on the CLAMPED gap
-                     (no squaring needed: the clamp bounds the norm)
-        else:        direct I - e e^T    (no cancellation for large gaps)
+        |dG|/2 < 1:  Van Loan augmented expm       (cancellation regime)
+        else:        direct I - e e^T              (no cancellation)
 
 HBM traffic becomes: read dt [N] + write (e, q) [2 r^2 N] -- the
 output floor.  Differentiability comes from a custom VJP in
 models/leg.py that replays the XLA path's adjoint.
+
+Flop structure (round 3; the round-2 kernel evaluated BOTH a full
+[2r, 2r] Pade-13 AND a separate [r, r] Pade-13 per gap, ~8x + 1x the
+r^3 volume): the augmented matrix M = [[A, S], [0, -A^T]] is block
+upper triangular and its (2,2) block is minus the transpose of its
+(1,1) block, so every even power of M has D-block = (A^k)^T -- a free
+transpose.  The whole Pade evaluation therefore runs on r x r blocks:
+
+    M^2k  = [[A^2k, S_2k], [0, (A^2k)^T]],  S_2k via 2 small matmuls
+    U, V  = odd/even Pade polynomials, assembled blockwise
+    X = (V - U)^{-1} (V + U) = [[F1, G1], [0, F3]]:
+        F3 from one r x r solve (Nu^T F3 = De^T),
+        [F1 | G1] from ONE batched r x (2r) solve with De = V_tl - U_tl
+
+and the former direct-branch expm disappears: F1 = expm(scaled A) is
+squared back up to the true gap (1 matmul/round; the Van Loan blocks
+G1, F3 square in lockstep on cancellation-regime lanes only -- the
+growing F3 = expm(+dA^T/2) block is never squared on large-gap lanes,
+so nothing overflows).  Scaling now uses the norm of the AUGMENTED
+matrix (not just |dG|/2 as in round 2), closing the accuracy gap the
+round-2 advisor flagged: ||M||_inf can exceed ||A||_inf by up to
+||A||_inf + ||S||_inf + ||A||_1, which the old clamp did not bound.
 
 The math helpers are shared with ops/pallas_sweep.py (same Mosaic
 dialect rules; see that module's docstring for the constant-anchoring
@@ -23,10 +44,6 @@ gotcha).
 """
 
 from __future__ import annotations
-
-from functools import partial
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +54,13 @@ from cyclic_gps_tpu.ops.pallas_sweep import _mm, _swap
 
 Array = jnp.ndarray
 
-_PADE13 = (
-    64764752532480000.0, 32382376266240000.0, 7771770303897600.0,
-    1187353796428800.0, 129060195264000.0, 10559470521600.0, 670442572800.0,
-    33522128640.0, 1323241920.0, 40840800.0, 960960.0, 16380.0, 182.0, 1.0,
-)
-_THETA13 = 5.371920351148152
+# degree-7 diagonal Pade coefficients of exp
+_PADE7 = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0,
+          56.0, 1.0)
+# single-precision (u = 2^-24) Pade-7 accuracy radius theta_7
+# (Al-Mohy & Higham 2009, table of theta_m for single precision);
+# the kernel computes in f32, so this is the correct backward-error bound
+_THETA7 = 3.92
 _MAXSQ = 40  # safety cap on the (dynamic) in-kernel squaring loop
 
 
@@ -69,77 +87,92 @@ def _lu_solve_k(a, b):
     return x
 
 
-def _pade13_k(a, eye):
-    """expm via the degree-13 Pade approximant (NO scaling/squaring --
-    the caller guarantees/applies scaling).  a, eye: [d, d, C]."""
-    b = _PADE13
-    a2 = _mm(a, a)
-    a4 = _mm(a2, a2)
-    a6 = _mm(a2, a4)
-    w1 = b[13] * a6 + b[11] * a4 + b[9] * a2
-    w2 = b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye
-    u = _mm(a, _mm(a6, w1) + w2)
-    z1 = b[12] * a6 + b[10] * a4 + b[8] * a2
-    v = _mm(a6, z1) + b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
-    return _lu_solve_k(v - u, v + u)
+def _tn_math(half, augn, smax, g_blk, sym_blk, dt):
+    """Shared kernel math: dt [nt] -> (e, q) [r, r, nt] (see module
+    docstring).  ``g_blk``/``sym_blk`` are the [r, r, 1] VMEM blocks,
+    ``half``/``augn``/``smax`` SMEM scalars."""
+    r = g_blk.shape[0]
+    dtype = g_blk.dtype
 
-
-def _tn_kernel(half_ref, smax_ref, g_ref, gaug_ref, dt_ref, e_ref, q_ref):
-    """One lane tile: dt [1, nt] -> e, q [r, r, nt]."""
-    r = g_ref.shape[0]
-    dtype = g_ref.dtype
-    half = half_ref[0, 0]  # max-abs-row-sum of -G/2
-    dt = dt_ref[0]  # [nt]
-    dt3 = dt[None, None, :]
-
-    # anchored identities (constant-only operands through the masked
+    # anchored identity (constant-only operands through the masked
     # sweeps crash Mosaic's layout pass -- see pallas_sweep)
-    eye_r = g_ref[:] * 0.0 + jnp.eye(r, dtype=dtype)[:, :, None]
-    eye_a = gaug_ref[:] * 0.0 + jnp.eye(2 * r, dtype=dtype)[:, :, None]
+    eye = g_blk * 0.0 + jnp.eye(r, dtype=dtype)[:, :, None]
 
-    # --- direct branch: e = expm(-0.5 dt G), scaling and squaring ---
-    a = g_ref[:] * (-0.5) * dt3  # [r, r, nt]
-    nrm = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=0)  # [nt]
-    s = jnp.ceil(
-        jnp.log2(jnp.maximum(nrm / _THETA13, 1.0))
-    )
+    # cancellation-regime mask: same branch threshold as the XLA path
+    small = (dt * half < 1.0).astype(dtype)[None, None, :]
+
+    # scaling from the AUGMENTED norm: all three blocks of the scaled
+    # Pade result are then accurate to f32 backward error
+    s = jnp.ceil(jnp.log2(jnp.maximum(dt * augn / _THETA7, 1.0)))
     s = jnp.clip(s, 0.0, float(_MAXSQ))
-    a_s = a * jnp.exp2(-s)[None, None, :]
-    e0 = _pade13_k(a_s, eye_r)
+    scale = (dt * jnp.exp2(-s))[None, None, :]
+    a = g_blk * (-0.5) * scale    # [r, r, nt]
+    sm = sym_blk * scale          # [r, r, nt]
 
-    # masked squaring, DYNAMIC trip count = the batch's max squaring
-    # need (XLA-side scalar): typical LEG gaps need 0-3 rounds, so the
-    # loop usually costs nothing
-    def sq_body(k, e_c):
+    # structured even powers: M^2k = [[a_2k, s_2k], [0, a_2k^T]]
+    a2 = _mm(a, a)
+    s2 = _mm(a, sm) - _mm(sm, a, tb=True)          # a sm + sm (-a^T)
+    a4 = _mm(a2, a2)
+    s4 = _mm(a2, s2) + _mm(s2, a2, tb=True)
+    a6 = _mm(a2, a4)
+    s6 = _mm(a2, s4) + _mm(s2, a4, tb=True)
+
+    b = _PADE7
+    p_a = b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye
+    p_s = b[7] * s6 + b[5] * s4 + b[3] * s2
+    u_tl = _mm(a, p_a)                              # odd polynomial, top
+    u_tr = _mm(a, p_s) + _mm(sm, p_a, tb=True)      # a p_s + sm p_a^T
+    v_tl = b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
+    v_tr = b[6] * s6 + b[4] * s4 + b[2] * s2
+
+    nu = v_tl + u_tl
+    de = v_tl - u_tl
+    # X = (V - U)^{-1}(V + U) = [[F1, G1], [0, F3]]; the bottom-right
+    # blocks of V -/+ U are Nu^T / De^T (even powers transpose, odd
+    # powers transpose with a sign flip)
+    f3 = _lu_solve_k(_swap(nu), _swap(de))
+    rhs_g = (v_tr + u_tr) - _mm(v_tr - u_tr, f3)
+    x = _lu_solve_k(de, jnp.concatenate([nu, rhs_g], axis=1))
+    f1 = x[:, :r, :]
+    g1 = x[:, r:, :]
+
+    # masked squaring back to the true gap, DYNAMIC trip count = the
+    # batch max (XLA-side scalar); F1 squares on every lane, the Van
+    # Loan blocks only on cancellation-regime lanes (the growing F3
+    # block stays at its bounded scaled-gap value elsewhere)
+    def sq_body(k, carry):
+        f1c, g1c, f3c = carry
         do = (s > k.astype(dtype)).astype(dtype)[None, None, :]
-        return do * _mm(e_c, e_c) + (1.0 - do) * e_c
+        doq = do * small
+        f1n = _mm(f1c, f1c)
+        g1n = _mm(f1c, g1c) + _mm(g1c, f3c)
+        f3n = _mm(f3c, f3c)
+        return (do * f1n + (1.0 - do) * f1c,
+                doq * g1n + (1.0 - doq) * g1c,
+                doq * f3n + (1.0 - doq) * f3c)
 
-    e = jax.lax.fori_loop(0, smax_ref[0, 0], sq_body, e0)
+    f1, g1, f3 = jax.lax.fori_loop(0, smax, sq_body, (f1, g1, f3))
 
-    # --- Van Loan branch on the clamped gap (norm < 1: no squaring) ---
-    tn = dt * half
-    small = (tn < 1.0)
-    d_cl = jnp.where(small, dt, 1.0 / half)[None, None, :]
-    m = gaug_ref[:] * d_cl  # [2r, 2r, nt]
-    big = _pade13_k(m, eye_a)
-    e_vl = big[:r, :r, :]
-    p_vl = big[:r, r:, :]
-    q_vl = _mm(p_vl, e_vl, tb=True)
-
-    # --- direct Q (large gaps: no cancellation) ---
-    q_dir = eye_r - _mm(e, e, tb=True)
-
-    mask = small.astype(dtype)[None, None, :]
-    q = mask * q_vl + (1.0 - mask) * q_dir
+    q_vl = _mm(g1, f1, tb=True)
+    q_dir = eye - _mm(f1, f1, tb=True)
+    q = small * q_vl + (1.0 - small) * q_dir
     q = 0.5 * (q + _swap(q))
+    return f1, q
+
+
+def _tn_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref, dt_ref,
+               e_ref, q_ref):
+    """One lane tile: dt [1, nt] -> e, q [r, r, nt] (see _tn_math)."""
+    e, q = _tn_math(half_ref[0, 0], augn_ref[0, 0], smax_ref[0, 0],
+                    g_ref[:], sym_ref[:], dt_ref[0])
     e_ref[:] = e
     q_ref[:] = q
 
 
 def _tile_for_rank(r: int) -> int:
-    if 2 * r <= 12:
+    if r <= 6:
         return 512
-    if 2 * r <= 20:
+    if r <= 10:
         return 256
     return 128
 
@@ -159,15 +192,17 @@ def transition_and_noise_pallas(g: Array, diffs: Array):
             [dt, jnp.ones((npad - n,), dtype=dt.dtype)]
         )
     a_half = -0.5 * g
+    sym = 0.5 * (g + g.T)
     half_norm = jnp.max(jnp.sum(jnp.abs(a_half), axis=1))
-    s_mat = 0.5 * (g + g.T)
-    top = jnp.concatenate([a_half, s_mat], axis=-1)
-    bot = jnp.concatenate([jnp.zeros_like(g), -a_half.T], axis=-1)
-    gaug = jnp.concatenate([top, bot], axis=-2)  # [2r, 2r]
+    # inf-norm of [[A, S], [0, -A^T]]: top rows |A| + |S|, bottom |A^T|
+    aug_norm = jnp.maximum(
+        jnp.max(jnp.sum(jnp.abs(a_half) + jnp.abs(sym), axis=1)),
+        jnp.max(jnp.sum(jnp.abs(a_half), axis=0)),
+    )
 
     # batch max squaring count (drives the kernel's dynamic loop)
     smax = jnp.ceil(
-        jnp.log2(jnp.maximum(jnp.max(dt) * half_norm / _THETA13, 1.0))
+        jnp.log2(jnp.maximum(jnp.max(dt) * aug_norm / _THETA7, 1.0))
     )
     smax = jnp.clip(smax, 0.0, float(_MAXSQ)).astype(jnp.int32)
 
@@ -179,9 +214,11 @@ def transition_and_noise_pallas(g: Array, diffs: Array):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((r, r, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * r, 2 * r, 1), lambda t: (0, 0, 0),
+            pl.BlockSpec((r, r, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nt), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
@@ -193,7 +230,170 @@ def transition_and_noise_pallas(g: Array, diffs: Array):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((r, r, npad), g.dtype)] * 2,
-    )(half_norm.reshape(1, 1), smax.reshape(1, 1), g[:, :, None],
-      gaug[:, :, None], dt[None, :])
+    )(half_norm.reshape(1, 1), aug_norm.reshape(1, 1),
+      smax.reshape(1, 1), g[:, :, None], sym[:, :, None], dt[None, :])
     e, q = out
     return e[:, :, :n], q[:, :, :n]
+
+
+# ---------------------------------------------------------------------------
+# Fused K-SYSTEM emission kernel (round 3): gaps -> the posterior-
+# precision system, directly in the partitioned engine's chunk-major
+# layout.  After the round-3 tn kernel hit its output floor, the
+# irregular likelihood was dominated by everything DOWNSTREAM of (e, q):
+# the XLA _q1_terms sweep (Cholesky + three triangular solves re-reading
+# 2 r^2 N and writing 3 r^2 N), the [r, r, s*C] -> [s, r, r, C] relayout
+# transposes, and the neighbour shift.  This kernel runs the entire
+# chain per lane tile in VMEM -- transition/noise construction
+# (_tn_math), Q1 Cholesky, the push-through precision ingredients, the
+# d_left neighbour shift (a VMEM scratch carry across the sequential
+# step grid, exactly like the sweep kernels' elimination carry), the
+# identity/boost assembly, and the per-gap log|Q1| reduction:
+#
+#   HBM traffic = read dt [N] + write (K_diag, K_off) [2 r^2 N].
+#
+# Replaces leg._k_system_chunked's emission for the TPU f32 dense-G
+# irregular path (reference hot loop being beaten: models.py:199-239).
+# ---------------------------------------------------------------------------
+
+
+def _chol_lanes(a):
+    """Lower Cholesky of [d, d, C]: (L, inv_diag [d, 1, C],
+    sum log diag PER LANE [1, C])."""
+    d = a.shape[0]
+    x = a
+    L = jnp.zeros_like(a)
+    invd = jnp.zeros_like(a[:, 0:1, :])
+    ld = jnp.zeros_like(a[0:1, 0, :])  # [1, C]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
+    for j in range(d):
+        piv = x[j:j + 1, j:j + 1, :]
+        piv_inv = jax.lax.rsqrt(piv)
+        mask = (rows >= j).astype(a.dtype)
+        col = x[:, j:j + 1, :] * piv_inv * mask
+        onehot_row = (rows == j).astype(a.dtype)
+        L = L + jnp.swapaxes(onehot_row, 0, 1) * col
+        invd = invd + onehot_row * piv_inv
+        ld = ld + 0.5 * jnp.log(piv[0])
+        if j + 1 < d:
+            x = x - col * _swap(col)
+    return L, invd, ld
+
+
+def _ksys_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref, boost_ref,
+                 dt_ref, gv_ref, real_ref, wrap_ref,
+                 k_ref, off_ref, lq_ref,
+                 dleft_s, lq_s):
+    """One (chunk-tile, step) cell: gaps dt[j] -> K rows.
+
+      off_row[j] = -Q1^{-1} e                       * gap_valid
+      k_row[j]   = I + d_left[j-1] + d_right[j] + boost * is_real
+      d_left     = Q1^{-1} - I   (push-through identity, leg._q1_terms)
+      d_right    = e^T Q1^{-1} e
+
+    d_left[j-1] is the previous grid step's value carried in VMEM
+    scratch; at j = 0 it crosses the chunk boundary and comes from the
+    precomputed ``wrap`` input (gap c*s - 1, lane-shifted).  log|Q1| is
+    accumulated valid-masked per tile into SMEM.
+    """
+    from cyclic_gps_tpu.ops.pallas_sweep import (_solve_lower,
+                                                 _solve_lower_t)
+
+    j = pl.program_id(1)
+    r = g_ref.shape[0]
+    dtype = g_ref.dtype
+    e, q = _tn_math(half_ref[0, 0], augn_ref[0, 0], smax_ref[0, 0],
+                    g_ref[:], sym_ref[:], dt_ref[0, 0])
+    eye = g_ref[:] * 0.0 + jnp.eye(r, dtype=dtype)[:, :, None]
+    gv3 = gv_ref[0, 0][None, None, :]  # [1, 1, ct]
+    real3 = real_ref[0, 0][None, None, :]
+
+    L, invd, ldl = _chol_lanes(q)
+    q1_inv_e = _solve_lower_t(L, invd, _solve_lower(L, invd, e))
+    li = _solve_lower(L, invd, eye)    # L^{-1}
+    d_left = (_mm(li, li, ta=True) - eye) * gv3
+    d_right = _mm(e, q1_inv_e, ta=True) * gv3
+
+    @pl.when(j == 0)
+    def _():
+        dleft_s[:] = wrap_ref[:]
+        lq_s[0, 0] = jnp.zeros((), dtype)
+
+    k_ref[0] = eye + dleft_s[:] + d_right + boost_ref[:] * real3
+    off_ref[0] = -q1_inv_e * gv3
+    dleft_s[:] = d_left
+    lq_s[0, 0] = lq_s[0, 0] + jnp.sum(2.0 * ldl * gv_ref[0, 0][None, :])
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        lq_ref[pl.program_id(0), 0] = lq_s[0, 0]
+
+
+@jax.jit
+def k_system_pallas(g: Array, boost: Array, dt_cm: Array, gv_cm: Array,
+                    real_cm: Array, wrap_em: Array):
+    """Fused chunk-major K-system emission.
+
+    dt_cm/gv_cm/real_cm: [s, C] per-(step, chunk) gaps / gap-validity /
+    point-validity; wrap_em: [r, r, C] d_left of gap c*s - 1 (already
+    valid-masked and lane-shifted; zeros for c = 0).  Returns
+    (k_cm [s, r, r, Cpad], off_cm [s, r, r, Cpad], sum log|Q1|) with
+    identity/zero padding chunks (exact for the partitioned solver).
+    """
+    r = g.shape[0]
+    s, c = dt_cm.shape
+    nt = _tile_for_rank(r)
+    cpad = -(-c // nt) * nt
+    if cpad != c:
+        p = cpad - c
+        dt_cm = jnp.concatenate(
+            [dt_cm, jnp.ones((s, p), dtype=dt_cm.dtype)], axis=-1)
+        gv_cm = jnp.concatenate(
+            [gv_cm, jnp.zeros((s, p), dtype=gv_cm.dtype)], axis=-1)
+        real_cm = jnp.concatenate(
+            [real_cm, jnp.zeros((s, p), dtype=real_cm.dtype)], axis=-1)
+        wrap_em = jnp.concatenate(
+            [wrap_em, jnp.zeros((r, r, p), dtype=wrap_em.dtype)], axis=-1)
+    a_half = -0.5 * g
+    sym = 0.5 * (g + g.T)
+    half_norm = jnp.max(jnp.sum(jnp.abs(a_half), axis=1))
+    aug_norm = jnp.maximum(
+        jnp.max(jnp.sum(jnp.abs(a_half) + jnp.abs(sym), axis=1)),
+        jnp.max(jnp.sum(jnp.abs(a_half), axis=0)),
+    )
+    smax = jnp.ceil(jnp.log2(jnp.maximum(
+        jnp.max(dt_cm) * aug_norm / _THETA7, 1.0)))
+    smax = jnp.clip(smax, 0.0, float(_MAXSQ)).astype(jnp.int32)
+
+    nct = cpad // nt
+    smem = pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    const = pl.BlockSpec((r, r, 1), lambda t, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # [s, 1, C] with block (1, 1, nt): Mosaic requires the block's last
+    # two dims divisible by (8, 128) OR equal to the array dims -- a
+    # plain (1, nt) block over [s, C] is rejected on real TPUs
+    lane = pl.BlockSpec((1, 1, nt), lambda t, j: (j, 0, t),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, r, r, nt), lambda t, j: (j, 0, 0, t),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _ksys_kernel,
+        grid=(nct, s),
+        in_specs=[smem, smem, smem, const, const, const,
+                  lane, lane, lane,
+                  pl.BlockSpec((r, r, nt), lambda t, j: (0, 0, t),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[row, row,
+                   pl.BlockSpec((nct, 1), lambda t, j: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((s, r, r, cpad), g.dtype),
+                   jax.ShapeDtypeStruct((s, r, r, cpad), g.dtype),
+                   jax.ShapeDtypeStruct((nct, 1), g.dtype)],
+        scratch_shapes=[pltpu.VMEM((r, r, nt), g.dtype),
+                        pltpu.SMEM((1, 1), g.dtype)],
+    )(half_norm.reshape(1, 1), aug_norm.reshape(1, 1), smax.reshape(1, 1),
+      g[:, :, None], sym[:, :, None], boost[:, :, None],
+      dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :], wrap_em)
+    k_cm, off_cm, lq = outs
+    return k_cm, off_cm, jnp.sum(lq)

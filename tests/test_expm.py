@@ -121,3 +121,54 @@ def test_tn_pallas_custom_vjp_matches_xla_grad():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_k_system_pallas_matches_xla():
+    """The fused K-system emission kernel (interpret mode in CI) matches
+    the XLA gap assembly -- values AND the custom-VJP gradient (which
+    replays the XLA path; padding-chunk cotangents drop exactly)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cyclic_gps_tpu.models import leg
+
+    rank, obs, n, s = 3, 2, 37, 4
+    params = leg.init_params(jax.random.key(0), rank=rank, obs_dim=obs,
+                             dtype=jnp.float32)
+    g = leg.g_matrix(params)
+    llt = leg.lambda_lambda_t(params)
+    boost = params.b.T @ jnp.linalg.solve(llt, params.b)
+    ts = jnp.cumsum(
+        jax.random.exponential(jax.random.key(1), (n,)) * 0.3 + 0.01
+    ).astype(jnp.float32)
+    c = -(-n // s)
+
+    k_x, o_x, ld_x = leg._k_gap_parts_xla(g, boost, ts, s, False, rank,
+                                          jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        k_p, o_p, ld_p = leg._k_gap_parts_pallas(g, boost, ts, s)
+    np.testing.assert_allclose(np.asarray(k_p[..., :c]), np.asarray(k_x),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_p[..., :c]), np.asarray(o_x),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(ld_p), float(ld_x), rtol=1e-5)
+
+    rng = np.random.RandomState(2)
+    w_k = jnp.asarray(rng.randn(*k_x.shape), jnp.float32)
+    w_o = jnp.asarray(rng.randn(*o_x.shape), jnp.float32)
+
+    def loss_x(g_, b_):
+        k, o, ld = leg._k_gap_parts_xla(g_, b_, ts, s, False, rank,
+                                        jnp.float32)
+        return jnp.sum(k * w_k) + jnp.sum(o * w_o) + 0.7 * ld
+
+    def loss_p(g_, b_):
+        k, o, ld = leg._k_gap_parts_pallas(g_, b_, ts, s)
+        return (jnp.sum(k[..., :c] * w_k) + jnp.sum(o[..., :c] * w_o)
+                + 0.7 * ld)
+
+    g1 = jax.grad(loss_x, argnums=(0, 1))(g, boost)
+    with pltpu.force_tpu_interpret_mode():
+        g2 = jax.grad(loss_p, argnums=(0, 1))(g, boost)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)

@@ -325,3 +325,88 @@ def test_blocked_filter_smoother_match_flat():
     for a, b in zip(s1, s2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-12, atol=1e-13)
+
+
+def test_blocked_loglik_value_and_gradient():
+    """log_likelihood_blocked == filter_parallel ll, and its PARAMETER
+    gradient (through leg_to_ssm, the checkpointed block scan, and the
+    associative filter) matches the flat scan's -- the f32 training loss
+    at T = 1e7 (VERDICT r2 #1)."""
+    from cyclic_gps_tpu.train import loop as train_loop
+
+    n, d, rank = 301, 2, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
+                           seed=23)
+    params = leg.init_params(jax.random.key(11), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+    ssm = kalman.leg_to_ssm(params, ts)
+
+    ll_flat = kalman.filter_parallel(ssm, xs)[2]
+    ll_blk = kalman.log_likelihood_blocked(ssm, xs, block=64)
+    np.testing.assert_allclose(float(ll_blk), float(ll_flat), rtol=1e-12)
+
+    def loss_flat(p):
+        return -kalman.filter_parallel(kalman.leg_to_ssm(p, ts), xs)[2]
+
+    def loss_blk(p):
+        return -kalman.log_likelihood_blocked(
+            kalman.leg_to_ssm(p, ts), xs, block=64
+        )
+
+    g1 = jax.grad(loss_flat)(params)
+    g2 = jax.grad(loss_blk)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-11)
+
+    # the training-loss entry dispatches to the blocked path above the
+    # block threshold; below it the flat path -- both through LOSSES
+    v = train_loop.nll_loss_kalman(params, ts, xs)
+    np.testing.assert_allclose(float(v), float(-ll_flat / xs.size),
+                               rtol=1e-12)
+
+
+def test_regular_kalman_loss_matches_irregular_entry():
+    """kalman_regular (one broadcast expm) == kalman on a uniform grid."""
+    n, d, rank = 120, 2, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="regular",
+                           seed=5)
+    params = leg.init_params(jax.random.key(3), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+    from cyclic_gps_tpu.train import loop as train_loop
+
+    v1 = train_loop.nll_loss_kalman(params, ts, xs)
+    v2 = train_loop.nll_loss_kalman_regular(params, ts, xs)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-10)
+
+
+def test_intercast_element_major_matches_batched():
+    """The element-major intercast (bounded memory at dense P) equals the
+    per-target vmapped oracle across all three regimes, boundary hits,
+    and gap-coincident targets."""
+    n, d, rank = 40, 2, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
+                           seed=77)
+    params = leg.init_params(jax.random.key(9), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+    mean, cov_diag, cov_off = leg.insample_posterior(params, ts, xs)
+
+    ts_np = np.asarray(ts)
+    targets = np.concatenate([
+        ts_np[0] - np.asarray([3.0, 0.2]),           # backward forecasts
+        [ts_np[0]],                                  # first-obs hit
+        0.5 * (ts_np[:-1] + ts_np[1:])[::3],         # interior midpoints
+        ts_np[7:9],                                  # interior exact-ish
+        [ts_np[-1]],                                 # last-obs hit
+        ts_np[-1] + np.asarray([0.1, 5.0]),          # forward forecasts
+    ])
+    targets = jnp.asarray(np.sort(targets), dtype=jnp.float64)
+
+    m1, c1 = leg.intercast(params, mean, cov_diag, cov_off, ts, targets)
+    m2, c2 = leg._intercast_batched(params, mean, cov_diag, cov_off, ts,
+                                    targets)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=1e-9, atol=1e-11)
