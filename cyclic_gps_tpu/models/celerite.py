@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cyclic_gps_tpu.models import leg
+from cyclic_gps_tpu.ops import partitioned as pt
 
 Array = jnp.ndarray
 
@@ -131,12 +132,226 @@ def expand(params: CeleriteParams) -> leg.LEGParams:
     )
 
 
-@partial(jax.jit, static_argnames=("regular",))
+# ---------------------------------------------------------------------------
+# Closed-form compute path (round 3).
+#
+# G is block-diagonal with 2x2 damped-oscillator blocks, so e = expm(-dG/2)
+# and Q1 = I - e e^T factor per block and each 2x2 exponential has a CLOSED
+# FORM: with A = -dG_k/2 = mu I + Delta, tr Delta = 0,
+#
+#   expm(A) = e^mu (cosh(w) I + sinh(w)/w Delta),   w = sqrt(q2),
+#   q2 = Delta_00^2 + Delta_01 Delta_10        (sign selects cosh/cos)
+#
+# evaluated cancellation-free: E = expm(A) - I is assembled from
+# expm1-style primitives so Q1 = -(E + E^T + E E^T) is exact to working
+# precision at ANY gap (the role the Van Loan construction plays for
+# dense G) -- no Pade evaluation, no [2r, 2r, N] intermediates, pure
+# elementwise math that XLA fuses into a single kernel.  This is the
+# compute advantage the celerite kernel class is defined by (reference
+# sketch models.py:552-592 never ran); the expansion path above stays as
+# the oracle (tests/test_celerite.py).
+# ---------------------------------------------------------------------------
+
+_SERIES_CUT = 0.29  # |w| below which the unified signed-q2 series is exact
+                    # to f32 (w^6/5040 < 2^-23)
+
+
+def g_blocks(params: CeleriteParams) -> Array:
+    """The 2x2 diagonal blocks of G = N N^T + R - R^T + eps I as
+    [nblocks, 2, 2] (the only nonzero structure under the celerite
+    masks)."""
+    n1 = params.n_diag[0::2]
+    n2 = params.n_diag[1::2]
+    ns = params.n_sub
+    rs = params.r_sub
+    eps = leg.G_DIAG_EPS
+    g00 = n1 * n1 + eps
+    g01 = n1 * ns - rs
+    g10 = n1 * ns + rs
+    g11 = ns * ns + n2 * n2 + eps
+    return jnp.stack(
+        [jnp.stack([g00, g01], -1), jnp.stack([g10, g11], -1)], -2
+    )
+
+
+def _block_e_terms(gb: Array, diffs: Array):
+    """Per-block, per-gap closed-form (ecm1, esnc, alpha, beta, gamma):
+    E = expm(-d G_k / 2) - I = ecm1 I + esnc Delta, Delta = [[alpha,
+    beta], [gamma, -alpha]].  All [nb, M]; cancellation-free at any gap.
+
+    Branches (selected on the sign/size of q2 = alpha^2 + beta gamma,
+    inputs sanitised so every branch is finite AND has finite gradients):
+      |q2| small : unified signed-q2 series for cosh-1 / sinhc
+      q2 >= cut  : hyperbolic, paired as (expm1(mu+w) +/- expm1(mu-w))/2
+                   (mu +/- w are the eigenvalues of A, both <= 0 for the
+                   PSD-symmetric-part G, so nothing overflows)
+      q2 <= -cut : trigonometric (damped oscillation)
+    """
+    d = diffs[None, :]  # [1, M]
+    g00 = gb[:, 0, 0][:, None]
+    g01 = gb[:, 0, 1][:, None]
+    g10 = gb[:, 1, 0][:, None]
+    g11 = gb[:, 1, 1][:, None]
+
+    mu = -d * (g00 + g11) / 4.0
+    alpha = -d * (g00 - g11) / 4.0
+    beta = -d * g01 / 2.0
+    gamma = -d * g10 / 2.0
+    q2 = alpha * alpha + beta * gamma
+    em1_mu = jnp.expm1(mu)
+    hyper = q2 >= _SERIES_CUT**2
+    trig = q2 <= -(_SERIES_CUT**2)
+    # sqrt only where a branch consumes it: d(sqrt)/dq2 -> inf at q2 = 0
+    # (reachable: decoupled equal-rate blocks), and a masked-out inf
+    # still NaNs the backward pass
+    w = jnp.sqrt(jnp.where(hyper | trig, jnp.abs(q2), _SERIES_CUT**2))
+
+    # hyperbolic branch (sanitised w: 0 where unselected)
+    w_h = jnp.where(hyper, w, 0.0)
+    ep = jnp.expm1(mu + w_h)
+    em = jnp.expm1(mu - w_h)
+    ecm1_h = 0.5 * (ep + em)
+    esnc_h = (ep - em) / (2.0 * jnp.maximum(w_h, _SERIES_CUT))
+
+    # trigonometric branch
+    w_t = jnp.where(trig, w, 0.0)
+    cw = jnp.cos(w_t)
+    ecm1_t = em1_mu * cw + (cw - 1.0)
+    esnc_t = (1.0 + em1_mu) * jnp.sin(w_t) / jnp.maximum(w_t, _SERIES_CUT)
+
+    # unified series in SIGNED q2 (covers both tiny-|q2| regimes):
+    # cosh(w)-1 = sum q2^k/(2k)!, sinhc(w) = sum q2^k/(2k+1)!; truncation
+    # < 1e-16 relative at the cut (f64-grade, Horner)
+    q2_s = jnp.clip(q2, -(_SERIES_CUT**2), _SERIES_CUT**2)
+    cm1_s = q2_s * (
+        1.0 / 2.0 + q2_s * (
+            1.0 / 24.0 + q2_s * (
+                1.0 / 720.0 + q2_s * (
+                    1.0 / 40320.0 + q2_s * (
+                        1.0 / 3628800.0 + q2_s / 479001600.0)))))
+    snc_s = 1.0 + q2_s * (
+        1.0 / 6.0 + q2_s * (
+            1.0 / 120.0 + q2_s * (
+                1.0 / 5040.0 + q2_s * (
+                    1.0 / 362880.0 + q2_s / 39916800.0))))
+    ecm1_s = em1_mu * (1.0 + cm1_s) + cm1_s
+    esnc_s = (1.0 + em1_mu) * snc_s
+
+    ecm1 = jnp.where(hyper, ecm1_h, jnp.where(trig, ecm1_t, ecm1_s))
+    esnc = jnp.where(hyper, esnc_h, jnp.where(trig, esnc_t, esnc_s))
+    return ecm1, esnc, alpha, beta, gamma
+
+
+def _block_gap_terms(gb: Array, diffs: Array):
+    """Closed-form per-block `leg._q1_terms`: (off, d_left, d_right
+    [nb, 2, 2, M], logq1 [M]) -- everything the precision assembly needs,
+    built from 2x2 scalar algebra (adjugate inverses, exact 2x2 dets)."""
+    ecm1, esnc, al, be, ga = _block_e_terms(gb, diffs)
+    # E and e = I + E entries
+    e00_m1 = ecm1 + esnc * al   # E_00
+    e01 = esnc * be
+    e10 = esnc * ga
+    e11_m1 = ecm1 - esnc * al   # E_11
+    e00 = 1.0 + e00_m1
+    e11 = 1.0 + e11_m1
+
+    # Q1 = -(E + E^T + E E^T), exact at working precision for any gap
+    q00 = -(2.0 * e00_m1 + e00_m1 * e00_m1 + e01 * e01)
+    q11 = -(2.0 * e11_m1 + e11_m1 * e11_m1 + e10 * e10)
+    q01 = -(e01 + e10 + e00_m1 * e10 + e01 * e11_m1)
+
+    det = q00 * q11 - q01 * q01
+    inv_det = 1.0 / det
+    # Q1^{-1} by adjugate
+    i00 = q11 * inv_det
+    i01 = -q01 * inv_det
+    i11 = q00 * inv_det
+
+    # off = -Q1^{-1} e
+    o00 = -(i00 * e00 + i01 * e10)
+    o01 = -(i00 * e01 + i01 * e11)
+    o10 = -(i01 * e00 + i11 * e10)
+    o11 = -(i01 * e01 + i11 * e11)
+
+    # d_left = Q1^{-1} - I (push-through identity, leg._q1_terms)
+    dl00 = i00 - 1.0
+    dl01 = i01
+    dl11 = i11 - 1.0
+
+    # d_right = e^T Q1^{-1} e = -e^T off
+    dr00 = -(e00 * o00 + e10 * o10)
+    dr01 = -(e00 * o01 + e10 * o11)
+    dr10 = -(e01 * o00 + e11 * o10)
+    dr11 = -(e01 * o01 + e11 * o11)
+
+    def m22(a, b, c, d):
+        return jnp.stack(
+            [jnp.stack([a, b], -2), jnp.stack([c, d], -2)], -3
+        )  # [nb, 2, 2, M]
+
+    off = m22(o00, o01, o10, o11)
+    d_left = m22(dl00, dl01, dl01, dl11)
+    d_right = m22(dr00, 0.5 * (dr01 + dr10), 0.5 * (dr01 + dr10), dr11)
+    logq1 = jnp.sum(jnp.log(det), axis=0)  # [M]
+    return off, d_left, d_right, logq1
+
+
+def gap_terms(params: CeleriteParams):
+    """`leg._gap_terms_dense`-compatible closure: diffs [M] ->
+    (off1, d_left, d_right [r, r, M] element-major block-diagonal,
+    log|Q1| per gap [M]) via the closed forms -- no matrix exponential."""
+    gb = g_blocks(params)
+    rank = params.rank
+    nb = params.nblocks
+
+    def fn(diffs):
+        off_b, dl_b, dr_b, logq1 = _block_gap_terms(gb, diffs)
+        m = diffs.shape[0]
+        dtype = off_b.dtype
+
+        def assemble(blocks):
+            full = jnp.zeros((rank, rank, m), dtype=dtype)
+            for k in range(nb):
+                full = full.at[2 * k:2 * k + 2, 2 * k:2 * k + 2, :].set(
+                    blocks[k]
+                )
+            return full
+
+        return assemble(off_b), assemble(dl_b), assemble(dr_b), logq1
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("regular", "backend"))
 def log_likelihood(
-    params: CeleriteParams, ts: Array, xs: Array, regular: bool = False
+    params: CeleriteParams, ts: Array, xs: Array, regular: bool = False,
+    backend: str = "auto",
 ) -> Array:
-    """LEG marginal log-likelihood under the celerite structure."""
-    return leg.log_likelihood(expand(params), ts, xs, regular=regular)
+    """Marginal log-likelihood under the celerite structure.
+
+    Large N runs the closed-form gap emission (`gap_terms`) straight
+    into the partitioned engine's chunk-major system -- the O(nblocks)
+    emission the celerite kernel class is defined by, bypassing the
+    full-rank Pade pipeline entirely.  Small N falls back to the
+    expansion path (`expand` + leg.log_likelihood), which doubles as the
+    parity oracle (tests/test_celerite.py)."""
+    num_obs = ts.shape[0]
+    s = pt.default_chunk_len(num_obs)
+    if num_obs < max(pt._TERMINAL, 2 * s):
+        return leg.log_likelihood(expand(params), ts, xs, regular=regular)
+
+    llt = leg.lambda_lambda_t(params)
+    x_llt_inv = jnp.linalg.solve(llt, xs.T).T
+    llt_mahal = jnp.sum(x_llt_inv * xs)
+    llt_logdet = num_obs * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
+    k_cm, o_cm, v_cm, sig_inv_logdet = leg._k_system_chunked(
+        params, ts, xs, s, regular, gap_fn=gap_terms(params)
+    )
+    k_mahal, k_logdet = pt.mahal_and_logdet_cm(k_cm, o_cm, v_cm,
+                                               backend=backend)
+    mahal = llt_mahal - k_mahal
+    logdet = llt_logdet + k_logdet - sig_inv_logdet
+    return -0.5 * (mahal + logdet)
 
 
 def make_predictions(params: CeleriteParams, ts, xs, target_ts, **kw):
