@@ -199,6 +199,15 @@ def _sweep_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
 _CT = 512
 
 
+def _ct_for(d: int) -> int:
+    """Chunk tile as a function of block size: the sweep kernels hold
+    ~15-20 [d, d, ct] VMEM buffers (state + double-buffered step blocks),
+    which exceeds the 16 MB scoped-vmem limit at d >= 12 with ct = 512
+    (measured: d = 16 needs 17.4 MB).  All kernels sharing stacks must
+    agree on the tile, so this is the single source of truth."""
+    return _CT if d <= 11 else _CT // 2
+
+
 def _pad_jitter_ld(s, d, npad, jitter, dtype):
     """Exact half-logdet contributed by the kernel-tile padding chunks
     when ``jitter > 0``: each padded interior pivot block is exactly
@@ -223,9 +232,10 @@ def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
     system and W1 assembly need.  ``jitter`` is added to the pivot
     blocks' diagonals exactly as in the XLA path.
     """
-    R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm, _CT)
+    R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm,
+                                      _ct_for(R_cm.shape[1]))
     s, d, _, cpad = R_cm.shape
-    ct = min(_CT, cpad)
+    ct = min(_ct_for(d), cpad)
     nct = cpad // ct
     jit_arr = jnp.full((1, 1), jitter, dtype=R_cm.dtype)
     y3 = y_cm[:, :, None, :]  # vectors as [s, d, 1, C]
@@ -363,9 +373,10 @@ def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
     consumed as-is by `backward_substitute_pallas` -- slicing them would
     copy ~200 MB).  Padded chunks yield zero hats -> zero x rows.
     """
-    R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm, _CT)
+    R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm,
+                                      _ct_for(R_cm.shape[1]))
     s, d, _, cpad = R_cm.shape
-    ct = min(_CT, cpad)
+    ct = min(_ct_for(d), cpad)
     nct = cpad // ct
     jit_arr = jnp.full((1, 1), jitter, dtype=R_cm.dtype)
     y3 = y_cm[:, :, None, :]
@@ -487,9 +498,10 @@ def forward_sweep_inverse_pallas(R_cm: Array, O_cm: Array,
      ds, invds, cs, w0s  -- per-step stacks, kernel-tile padded)."""
     s, d, _, c0 = R_cm.shape
     y_dummy = jnp.zeros((s, d, c0), dtype=R_cm.dtype)
-    R_cm, O_cm, _, c = _pad_chunks(R_cm, O_cm, y_dummy, _CT)
+    R_cm, O_cm, _, c = _pad_chunks(R_cm, O_cm, y_dummy,
+                                   _ct_for(R_cm.shape[1]))
     s, d, _, cpad = R_cm.shape
-    ct = min(_CT, cpad)
+    ct = min(_ct_for(d), cpad)
     nct = cpad // ct
     jit_arr = jnp.full((1, 1), jitter, dtype=R_cm.dtype)
     mat = jax.ShapeDtypeStruct((d, d, cpad), R_cm.dtype)
@@ -603,7 +615,7 @@ def takahashi_backward_pallas(ds, invds, cs, w0s,
     (diag rows [s-2, d, d, cpad], off rows [s-2, d, d, cpad],
     u0_final, u1_final [d, d, cpad])."""
     sm1, d, _, cpad = ds.shape
-    ct = min(_CT, cpad)
+    ct = min(_ct_for(d), cpad)
     nct = cpad // ct
     s3 = sm1 - 2  # grid step j reads stacked row (s3 - j): s-3 .. 0
     step = pl.BlockSpec((1, d, d, ct), lambda t, j: (s3 - j, 0, 0, t),
@@ -673,8 +685,8 @@ def backward_substitute_pallas(hat_cs: Array, hat_w0s: Array, hat_ws: Array,
     hat_w1: [d, d, C]; xb / xb_next: [d, C].
     """
     sm1, d, _, c = hat_cs.shape
-    cpad = -(-c // _CT) * _CT
-    ct = min(_CT, cpad)
+    cpad = -(-c // _ct_for(d)) * _ct_for(d)
+    ct = min(_ct_for(d), cpad)
     if cpad != c:
         p = cpad - c
 

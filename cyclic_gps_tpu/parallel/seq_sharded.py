@@ -21,7 +21,7 @@ zero blocks first if needed -- exact for logdet / mahal / solve).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from types import SimpleNamespace
 from typing import Optional, Tuple
 
@@ -43,6 +43,19 @@ def make_seq_mesh(num_devices: Optional[int] = None, axis: str = "seq") -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(devices, (axis,))
+
+
+@lru_cache(maxsize=None)
+def _cached_shard_fn(builder, mesh: Mesh, axis: str, *extra):
+    """One jitted shard_map wrapper per (entry, mesh, axis, params).
+
+    Every public entry used to build a FRESH ``jax.jit(shard_map(...))``
+    per call, so each call re-traced and re-lowered the whole sharded
+    program (seconds at N = 1e5+) -- a training loop would pay it every
+    step.  ``builder`` is a module-level function (hashable identity)
+    returning the jitted wrapper; Mesh is hashable, so the cache keys on
+    the actual device assignment."""
+    return builder(mesh, axis, *extra)
 
 
 def _halo_shifts(axis: str):
@@ -203,9 +216,14 @@ def mahal_and_logdet(
     )
     yt = sb.vec_to_em(y)
 
+    fn = _cached_shard_fn(_build_mahal_fn, mesh, axis, jitter, engine)
+    return fn(R, O, yt)
+
+
+def _build_mahal_fn(mesh, axis, jitter, engine):
     local = {"partitioned": _partitioned_fused_local,
              "cr": _fused_local}[engine]
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             partial(local, axis=axis, jitter=jitter),
             mesh=mesh,
@@ -214,7 +232,6 @@ def mahal_and_logdet(
             check_vma=False,
         )
     )
-    return fn(R, O, yt)
 
 
 # ---------------------------------------------------------------------------
@@ -433,11 +450,16 @@ def solve(
     )
     yt = sb.vec_to_em(y)
 
+    fn = _cached_shard_fn(_build_solve_fn, mesh, axis, jitter)
+    return fn(R, O, yt)
+
+
+def _build_solve_fn(mesh, axis, jitter):
     def local(R, O, yt):
         x, ld = _solve_local(R, O, yt, axis, jitter)
         return sb.vec_from_em(x), ld
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(None, None, axis), P(None, None, axis), P(None, axis)),
@@ -445,7 +467,6 @@ def solve(
             check_vma=False,
         )
     )
-    return fn(R, O, yt)
 
 
 def inverse_blocks(
@@ -462,11 +483,17 @@ def inverse_blocks(
         [sb.to_em(off), jnp.zeros((d, d, 1), dtype=diag.dtype)], axis=-1
     )
 
+    fn = _cached_shard_fn(_build_inverse_fn, mesh, axis, jitter)
+    dg, of = fn(R, O)
+    return dg, of[: n - 1]
+
+
+def _build_inverse_fn(mesh, axis, jitter):
     def local(R, O):
         dg, of = _inverse_local(R, O, axis, jitter)
         return sb.from_em(dg), sb.from_em(of)
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(None, None, axis), P(None, None, axis)),
@@ -474,8 +501,6 @@ def inverse_blocks(
             check_vma=False,
         )
     )
-    dg, of = fn(R, O)
-    return dg, of[: n - 1]
 
 
 def _check_shard(n: int, mesh: Mesh, axis: str) -> None:
@@ -652,7 +677,12 @@ def log_likelihood(
     """
     n = ts.shape[0]
     _check_shard(n, mesh, axis)
-    fn = jax.jit(
+    fn = _cached_shard_fn(_build_loglik_fn, mesh, axis)
+    return fn(params, ts, xs)
+
+
+def _build_loglik_fn(mesh, axis):
+    return jax.jit(
         jax.shard_map(
             partial(_log_likelihood_local, axis=axis),
             mesh=mesh,
@@ -661,7 +691,6 @@ def log_likelihood(
             check_vma=False,
         )
     )
-    return fn(params, ts, xs)
 
 
 def posterior_mean(
@@ -675,7 +704,11 @@ def posterior_mean(
     multi-chip `leg.posterior_mean` (precision route) -- posteriors no
     longer bounded by one chip's HBM."""
     _check_shard(ts.shape[0], mesh, axis)
+    fn = _cached_shard_fn(_build_posterior_mean_fn, mesh, axis)
+    return fn(params, ts, xs)
 
+
+def _build_posterior_mean_fn(mesh, axis):
     def local(params, ts_loc, xs_loc):
         k_diag_em, k_off_em, v_em, _, _, _ = _posterior_system_local(
             params, ts_loc, xs_loc, axis
@@ -683,7 +716,7 @@ def posterior_mean(
         x, _ = _solve_local(k_diag_em, k_off_em, v_em, axis, 0.0)
         return sb.vec_from_em(x)
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(axis), P(axis, None)),
@@ -691,7 +724,6 @@ def posterior_mean(
             check_vma=False,
         )
     )
-    return fn(params, ts, xs)
 
 
 def insample_posterior(
@@ -707,7 +739,12 @@ def insample_posterior(
     sharded Takahashi selected inversion)."""
     n = ts.shape[0]
     _check_shard(n, mesh, axis)
+    fn = _cached_shard_fn(_build_insample_fn, mesh, axis)
+    mean, cov_diag, cov_off = fn(params, ts, xs)
+    return mean, cov_diag, cov_off[: n - 1]
 
+
+def _build_insample_fn(mesh, axis):
     def local(params, ts_loc, xs_loc):
         k_diag_em, k_off_em, v_em, _, _, _ = _posterior_system_local(
             params, ts_loc, xs_loc, axis
@@ -716,7 +753,7 @@ def insample_posterior(
         cov_d, cov_o = _inverse_local(k_diag_em, k_off_em, axis, 0.0)
         return sb.vec_from_em(x), sb.from_em(cov_d), sb.from_em(cov_o)
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(axis), P(axis, None)),
@@ -725,5 +762,3 @@ def insample_posterior(
             check_vma=False,
         )
     )
-    mean, cov_diag, cov_off = fn(params, ts, xs)
-    return mean, cov_diag, cov_off[: n - 1]

@@ -6,6 +6,12 @@ TOTAL WORK: the ratio sharded/single is the sharding overhead factor
 CR-based sharded likelihood carried a ~15x engine penalty; the partitioned
 re-platform should be within ~2x (VERDICT r1 item 3).
 
+Round-3 note: earlier numbers (r2's 2.24x, and a 6.3-6.7x measured
+before the fix) were dominated by RE-TRACING -- the public entries
+rebuilt their jax.jit(shard_map(...)) wrapper per call.  With the
+wrappers cached (seq_sharded._cached_shard_fn) the timings below are
+pure execution.
+
 Run:  python examples/bench_sharded.py     (forces CPU + 8 virtual devices)
 """
 
@@ -66,12 +72,24 @@ def main():
     t_sharded = timeit(
         lambda: seq_sharded.log_likelihood(params, ts, xs, mesh)
     )
+
+    # parameter gradient through the sharded ANALYTIC VJP vs single-device
+    g_sharded = jax.jit(jax.grad(
+        lambda p: seq_sharded.log_likelihood(p, ts, xs, mesh)
+    ))
+    g_single = jax.jit(jax.grad(lambda p: leg.log_likelihood(p, ts, xs)))
+    tg_single = timeit(lambda: g_single(params))
+    tg_sharded = timeit(lambda: g_sharded(params))
+
     print(json.dumps({
         "metric": "seq_sharded_work_overhead",
         "n": N, "devices": 8,
         "single_ms": round(t_single, 1),
         "sharded_ms": round(t_sharded, 1),
         "overhead_factor": round(t_sharded / t_single, 3),
+        "grad_single_ms": round(tg_single, 1),
+        "grad_sharded_ms": round(tg_sharded, 1),
+        "grad_overhead_factor": round(tg_sharded / tg_single, 3),
         "loglik_rel_err": rel,
     }))
 
