@@ -1,0 +1,357 @@
+"""8-aligned blocked math for wide (8 < d <= 16) small-block batches.
+
+Motivation (round-3, VERDICT r2 #3): element-major [d, d, C] batches put
+the block COLUMN dimension on TPU sublanes, which pad to multiples of 8.
+For d = 9..15 that wastes (8*ceil(d/8) - d)/d of every vector register
+AND of every HBM<->VMEM DMA (arrays are stored tiled): the measured
+d = 8 -> 9 family-table step is ~2.2x for ~27% more data.  d = 16 is
+exactly two tiles and has no such waste -- the problem is specifically
+non-multiples of 8.
+
+The fix is a WIDE representation that keeps every sublane dimension at
+exactly 8.  A d = 8 + e block batch (1 <= e <= 8) is stored as two
+arrays:
+
+    a11 [8, 8, C]    top-left 8x8 block
+    st  [3e, 8, C]   row-packed strips:
+                       st[0:e]    = A21          (bottom-left  [e, 8])
+                       st[e:2e]   = A12^T        (top-right transposed)
+                       st[2e:3e]  = A22          (bottom-right [e, e],
+                                                  columns >= e ZERO)
+
+Storage overhead vs d^2: (64 + 24e)/(8+e)^2 -- 8.6% at d = 9, 0% at
+d = 16 -- versus 8*ceil(d/8)*d/(d^2)-1 = 42% at d = 9 for the plain
+layout.  Every FMA in the blocked algebra below lands on fully-packed
+(q = 8 columns) tiles, so matmul costs ~(8 + 2e) * d vector-register
+rows -- the d^3/8 ideal -- instead of d^2 * ceil(d/8).
+
+Transposition is nearly free: (A^T)21 = A12^T which is ALREADY how the
+top-right strip is stored (and vice versa), so only the two square
+blocks swap their leading/sublane axes.
+
+All helpers are written with basic slices, `jnp.concatenate`, and
+leading<->sublane `swapaxes` only -- the subset the Mosaic TPU kernel
+language supports (see ops/pallas_sweep.py) -- so the SAME functions
+run inside Pallas kernels and under plain XLA (tests).
+
+Invariant: the A22 strip's columns >= e are zero.  Every producer below
+preserves it (padding columns multiply only zero inputs).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _sw(a):
+    return jnp.swapaxes(a, 0, 1)
+
+
+def _pad_cols(a, width: int = 8):
+    """[p, q, C] -> [p, 8, C] with zero columns appended (anchored to the
+    input so Mosaic's layout pass never sees a constant-only operand)."""
+    q = a.shape[1]
+    if q == width:
+        return a
+    z = a[:, :1, :] * 0.0
+    pads = [z] * (width - q)
+    return jnp.concatenate([a] + pads, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# layout conversion (tests + host-side construction)
+# ---------------------------------------------------------------------------
+
+
+def to_wide(x: Array) -> Tuple[Array, Array]:
+    """[d, d, C] -> (a11 [8, 8, C], st [3e, 8, C]) for d = 8 + e."""
+    d = x.shape[0]
+    e = d - 8
+    a11 = x[:8, :8, :]
+    a21 = x[8:, :8, :]
+    a12t = _sw(x[:8, 8:, :])
+    a22 = _pad_cols(x[8:, 8:, :])
+    return a11, jnp.concatenate([a21, a12t, a22], axis=0)
+
+
+def from_wide(a11: Array, st: Array) -> Array:
+    """Inverse of `to_wide` (tests)."""
+    e = st.shape[0] // 3
+    a21 = st[:e]
+    a12 = _sw(st[e:2 * e])
+    a22 = st[2 * e:][:, :e, :]
+    top = jnp.concatenate([a11, a12], axis=1)
+    bot = jnp.concatenate([a21, a22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def parts(st: Array):
+    e = st.shape[0] // 3
+    return st[:e], st[e:2 * e], st[2 * e:]
+
+
+def build(a21: Array, a12t: Array, a22: Array) -> Array:
+    return jnp.concatenate([a21, a12t, a22], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# algebra
+# ---------------------------------------------------------------------------
+
+
+def wtranspose(a11: Array, st: Array) -> Tuple[Array, Array]:
+    """A^T: swap the square blocks' axes; the strips swap ROLES."""
+    a21, a12t, a22 = parts(st)
+    e = a21.shape[0]
+    a22t = _pad_cols(_sw(a22)[:e])
+    return _sw(a11), build(a12t, a21, a22t)
+
+
+def wadd(a11, ast, b11, bst):
+    return a11 + b11, ast + bst
+
+
+def wsub(a11, ast, b11, bst):
+    return a11 - b11, ast - bst
+
+
+def wscale(a11, ast, s):
+    return a11 * s, ast * s
+
+
+def wmm(a11, ast, b11, bst) -> Tuple[Array, Array]:
+    """C = A @ B, all wide.  Every FMA is on an [*, 8, C] tile."""
+    a21, a12t, a22 = parts(ast)
+    b21, b12t, b22 = parts(bst)
+    e = a21.shape[0]
+    # precomputed swaps (one leading<->sublane relayout each)
+    a12 = _sw(a12t)            # [8, e, C]
+    a11t = _sw(a11)            # [8, 8, C]
+    b12p = _pad_cols(_sw(b12t))  # [8, 8, C], cols >= e zero
+    b22t = _pad_cols(_sw(b22)[:e])  # [e, 8, C]
+
+    # C11 = A11 B11 + A12 B21
+    c11 = a11[:, 0:1, :] * b11[0:1, :, :]
+    for k in range(1, 8):
+        c11 = c11 + a11[:, k:k + 1, :] * b11[k:k + 1, :, :]
+    for k in range(e):
+        c11 = c11 + a12[:, k:k + 1, :] * b21[k:k + 1, :, :]
+
+    # C21 = A21 B11 + A22 B21
+    c21 = a21[:, 0:1, :] * b11[0:1, :, :]
+    for k in range(1, 8):
+        c21 = c21 + a21[:, k:k + 1, :] * b11[k:k + 1, :, :]
+    for k in range(e):
+        c21 = c21 + a22[:, k:k + 1, :] * b21[k:k + 1, :, :]
+
+    # C12^T = B12^T A11^T + B22^T A12^T
+    c12t = b12t[:, 0:1, :] * a11t[0:1, :, :]
+    for k in range(1, 8):
+        c12t = c12t + b12t[:, k:k + 1, :] * a11t[k:k + 1, :, :]
+    for k in range(e):
+        c12t = c12t + b22t[:, k:k + 1, :] * a12t[k:k + 1, :, :]
+
+    # C22 = A21 B12 + A22 B22   (b12p/b22 columns >= e are zero)
+    c22 = a21[:, 0:1, :] * b12p[0:1, :, :]
+    for k in range(1, 8):
+        c22 = c22 + a21[:, k:k + 1, :] * b12p[k:k + 1, :, :]
+    for k in range(e):
+        c22 = c22 + a22[:, k:k + 1, :] * b22[k:k + 1, :, :]
+
+    return c11, build(c21, c12t, c22)
+
+
+def wmm_tn(a11, ast, b11, bst):
+    """A^T @ B."""
+    t11, tst = wtranspose(a11, ast)
+    return wmm(t11, tst, b11, bst)
+
+
+def wmm_nt(a11, ast, b11, bst):
+    """A @ B^T."""
+    t11, tst = wtranspose(b11, bst)
+    return wmm(a11, ast, t11, tst)
+
+
+def wmv(a11, ast, x1, x2) -> Tuple[Array, Array]:
+    """A @ x with x = (x1 [8, 1, C], x2 [e, 1, C])."""
+    a21, a12t, a22 = parts(ast)
+    e = a21.shape[0]
+    a12 = _sw(a12t)
+    y1 = a11[:, 0:1, :] * x1[0:1, :, :]
+    for k in range(1, 8):
+        y1 = y1 + a11[:, k:k + 1, :] * x1[k:k + 1, :, :]
+    for k in range(e):
+        y1 = y1 + a12[:, k:k + 1, :] * x2[k:k + 1, :, :]
+    y2 = a21[:, 0:1, :] * x1[0:1, :, :]
+    for k in range(1, 8):
+        y2 = y2 + a21[:, k:k + 1, :] * x1[k:k + 1, :, :]
+    for k in range(e):
+        y2 = y2 + a22[:, k:k + 1, :] * x2[k:k + 1, :, :]
+    return y1, y2
+
+
+def wmv_t(a11, ast, x1, x2):
+    """A^T @ x."""
+    t11, tst = wtranspose(a11, ast)
+    return wmv(t11, tst, x1, x2)
+
+
+# --- small dense helpers on [p, 8, C] panels (p <= 8 rows) ---------------
+
+
+def _chol_panel(x, p: int, rows_iota):
+    """Lower Cholesky of the leading p x p block of x [p, 8, C] (cols
+    >= p ignored/zero).  Returns (L [p, 8, C], inv_diag [p, 1, C],
+    sum log diag [])."""
+    import jax
+
+    L = x * 0.0
+    invd = x[:, 0:1, :] * 0.0
+    ld = jnp.zeros((), dtype=x.dtype)
+    cols = jnp.swapaxes(rows_iota, 0, 1)  # [1, 8, 1]
+    for j in range(p):
+        piv = x[j:j + 1, j:j + 1, :]
+        piv_inv = jax.lax.rsqrt(piv)
+        mask = (rows_iota[:p] >= j).astype(x.dtype)
+        col = x[:, j:j + 1, :] * piv_inv * mask       # [p, 1, C]
+        onehot_col = (cols == j).astype(x.dtype)      # [1, 8, 1]
+        L = L + onehot_col * col
+        onehot_row = (rows_iota[:p] == j).astype(x.dtype)
+        invd = invd + onehot_row * piv_inv
+        ld = ld + 0.5 * jnp.sum(jnp.log(piv))
+        if j + 1 < p:
+            x = x - col * _pad_cols(_sw(col))
+    return L, invd, ld
+
+
+def _solve_panel(L, invd, y, p: int, rows_iota):
+    """L X = Y on the leading p x p of L [p, 8, C]; Y [p, q, C]."""
+    res = y
+    x = y * 0.0
+    for i in range(p):
+        xi = res[i:i + 1, :, :] * invd[i:i + 1, :, :]
+        onehot = (rows_iota[:p] == i).astype(y.dtype)
+        x = x + onehot * xi
+        if i + 1 < p:
+            res = res - L[:, i:i + 1, :] * xi
+    return x
+
+
+def _solve_panel_t(L, invd, y, p: int, rows_iota):
+    """L^T X = Y on the leading p x p of L [p, 8, C]; Y [p, q, C]."""
+    res = y
+    x = y * 0.0
+    for i in reversed(range(p)):
+        xi = res[i:i + 1, :, :] * invd[i:i + 1, :, :]
+        onehot = (rows_iota[:p] == i).astype(y.dtype)
+        x = x + onehot * xi
+        if i > 0:
+            # (L^T) column i = L row i as a [p, 1, C] column vector
+            res = res - _sw(L[i:i + 1, :, :])[:p] * xi
+    return x
+
+
+def _rows_iota(dtype_like):
+    import jax
+
+    return jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+
+
+def wchol(p11, pst) -> Tuple[Array, Array, Array, Array, Array]:
+    """Blocked lower Cholesky of a wide SPD batch.
+
+    Returns (L11 [8, 8, C], Lst [3e, 8, C] with the A12^T strip zero,
+    invd1 [8, 1, C], invd2 [e, 1, C], sum log diag [])."""
+    p21, p12t, p22 = parts(pst)
+    e = p21.shape[0]
+    ri = _rows_iota(p11)
+    L11, invd1, ld1 = _chol_panel(p11, 8, ri)
+    # L21 = P21 L11^{-T}: solve L11 (L21^T) = P21^T
+    l21t = _solve_panel(L11, invd1, _sw(p21), 8, ri)   # [8, e, C]
+    l21 = _sw(l21t)                                     # [e, 8, C]
+    # Schur complement S = P22 - L21 L21^T  (cols >= e stay zero)
+    l21tp = _pad_cols(l21t)                             # [8, 8, C]
+    s = p22
+    for k in range(8):
+        s = s - l21[:, k:k + 1, :] * l21tp[k:k + 1, :, :]
+    L22, invd2, ld2 = _chol_panel(s, e, ri)
+    zero12 = p12t * 0.0
+    return L11, build(l21, zero12, L22), invd1, invd2, ld1 + ld2
+
+
+def wsolve_lower(L11, Lst, invd1, invd2, y11, yst):
+    """L X = Y with L wide lower-triangular (from `wchol`), Y wide."""
+    l21, _, L22 = parts(Lst)
+    y21, y12t, y22 = parts(yst)
+    e = l21.shape[0]
+    ri = _rows_iota(L11)
+    # top rows: [X11 | X12] = L11^{-1} [Y11 | Y12]
+    x11 = _solve_panel(L11, invd1, y11, 8, ri)
+    x12 = _solve_panel(L11, invd1, _sw(y12t), 8, ri)    # [8, e, C]
+    x12t = _sw(x12)
+    # bottom rows: L22 X2 = Y2 - L21 X_top
+    x12p = _pad_cols(x12)
+    r21 = y21
+    r22 = y22
+    for k in range(8):
+        r21 = r21 - l21[:, k:k + 1, :] * x11[k:k + 1, :, :]
+        r22 = r22 - l21[:, k:k + 1, :] * x12p[k:k + 1, :, :]
+    x21 = _solve_panel(L22, invd2, r21, e, ri)
+    x22 = _solve_panel(L22, invd2, r22, e, ri)
+    return x11, build(x21, x12t, x22)
+
+
+def wsolve_lower_vec(L11, Lst, invd1, invd2, y1, y2):
+    """L x = y with y = (y1 [8, 1, C], y2 [e, 1, C])."""
+    l21, _, L22 = parts(Lst)
+    e = l21.shape[0]
+    ri = _rows_iota(L11)
+    x1 = _solve_panel(L11, invd1, y1, 8, ri)
+    r2 = y2
+    for k in range(8):
+        r2 = r2 - l21[:, k:k + 1, :] * x1[k:k + 1, :, :]
+    x2 = _solve_panel(L22, invd2, r2, e, ri)
+    return x1, x2
+
+
+def wsolve_lower_t_vec(L11, Lst, invd1, invd2, y1, y2):
+    """L^T x = y (back substitution): bottom rows first."""
+    l21, _, L22 = parts(Lst)
+    e = l21.shape[0]
+    ri = _rows_iota(L11)
+    x2 = _solve_panel_t(L22, invd2, y2, e, ri)
+    # top rows: L11^T x1 = y1 - L21^T x2
+    l21t = _sw(l21)                                     # [8, e, C]
+    r1 = y1
+    for k in range(e):
+        r1 = r1 - l21t[:, k:k + 1, :] * x2[k:k + 1, :, :]
+    x1 = _solve_panel_t(L11, invd1, r1, 8, ri)
+    return x1, x2
+
+
+def wsolve_lower_t(L11, Lst, invd1, invd2, y11, yst):
+    """L^T X = Y with Y wide (matrix RHS)."""
+    l21, _, L22 = parts(Lst)
+    y21, y12t, y22 = parts(yst)
+    e = l21.shape[0]
+    ri = _rows_iota(L11)
+    # bottom rows first: X2 = L22^{-T} Y2
+    x21 = _solve_panel_t(L22, invd2, y21, e, ri)
+    x22 = _solve_panel_t(L22, invd2, y22, e, ri)
+    # top rows: L11^T X_top = Y_top - L21^T X_bot
+    l21t = _sw(l21)                                     # [8, e, C]
+    r11 = y11
+    r12p = _pad_cols(_sw(y12t))                         # [8, 8, C]
+    for k in range(e):
+        r11 = r11 - l21t[:, k:k + 1, :] * x21[k:k + 1, :, :]
+        # x22 rows are already zero-padded past column e
+        r12p = r12p - l21t[:, k:k + 1, :] * x22[k:k + 1, :, :]
+    x11 = _solve_panel_t(L11, invd1, r11, 8, ri)
+    x12p = _solve_panel_t(L11, invd1, r12p, 8, ri)      # cols >= e zero
+    x12t = _sw(x12p)[:e]
+    return x11, build(x21, x12t, x22)
