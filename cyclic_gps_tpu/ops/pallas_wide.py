@@ -1,0 +1,235 @@
+"""Pallas TPU fused forward sweep on the WIDE (8 < d <= 16) layout.
+
+The wide-block twin of `pallas_sweep.forward_sweep_pallas`: the same
+block-Thomas elimination recurrence, but every matrix batch lives in the
+8-aligned (a11 [8, 8, C], strips [3e, 8, C]) representation of
+ops/wideblock.py, so both the HBM->VMEM DMAs and the VPU ops are fully
+packed -- for d = 9 the plain [d, d, C] layout moves and processes
+16/9 = 1.78x the useful data (sublane tiling), which is exactly the
+measured d = 8 -> 9 step in the family benchmark.
+
+Only the fused (mahal, logdet) sweep is implemented here (the family
+metric's other entry, the solve path, still runs the plain kernels);
+the reduced boundary system and its assembly are C-sized and stay on
+the XLA side in the plain layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cyclic_gps_tpu.ops import wideblock as wb
+from cyclic_gps_tpu.ops.pallas_sweep import _ct_for, _pad_chunks
+
+Array = jnp.ndarray
+
+
+def _wide_sweep_kernel(jit_ref, r11_ref, rst_ref, o11_ref, ost_ref,
+                       o011_ref, o0st_ref, y_ref,
+                       acc11_ref, accst_ref, accy0_ref,
+                       w011_ref, w0st_ref, wl_ref,
+                       d11_ref, dst_ref, invd_ref, stats_ref,
+                       cp11_s, cpst_s, w011_s, w0st_s, w_s, acc11_s,
+                       accst_s, accy0_s, stats_s):
+    j = pl.program_id(1)
+    e = rst_ref.shape[1] // 3
+    dtype = r11_ref.dtype
+
+    # jitter on the diagonal (anchored identities; constants alone crash
+    # Mosaic's vector layout pass -- see pallas_sweep)
+    eye8 = r11_ref[0] * 0.0 + jnp.eye(8, dtype=dtype)[:, :, None]
+    rows_e = jax.lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    eye_e = rst_ref[0, :e] * 0.0 + (rows_e == cols8).astype(dtype)
+    jit = jit_ref[0, 0]
+    r11 = r11_ref[0] + jit * eye8
+    rst = rst_ref[0] + jit * jnp.concatenate(
+        [eye_e * 0.0, eye_e * 0.0, eye_e], axis=0
+    )
+    o11 = o11_ref[0]
+    ost = ost_ref[0]
+    y_j = y_ref[0]  # [d, 1, ct]
+    y1, y2 = y_j[:8], y_j[8:]
+
+    def cprev_from(D, o11_, ost_):
+        # C_j = (L^{-1} O^T)^T
+        ot11, otst = wb.wtranspose(o11_, ost_)
+        x11, xst = wb.wsolve_lower(*D[:4], ot11, otst)
+        return wb.wtranspose(x11, xst)
+
+    @pl.when(j == 0)
+    def _():
+        L11, Lst, i1, i2, ld = wb.wchol(r11, rst)
+        D = (L11, Lst, i1, i2)
+        w011, w0st = wb.wsolve_lower(*D, o011_ref[0], o0st_ref[0])
+        w1v, w2v = wb.wsolve_lower_vec(*D, y1, y2)
+        c11, cst = cprev_from(D, o11, ost)
+        cp11_s[:] = c11
+        cpst_s[:] = cst
+        w011_s[:] = w011
+        w0st_s[:] = w0st
+        w_s[:] = jnp.concatenate([w1v, w2v], axis=0)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = a11
+        accst_s[:] = ast
+        g1, g2 = wb.wmv_t(w011, w0st, w1v, w2v)
+        accy0_s[:] = jnp.concatenate([g1, g2], axis=0)
+        stats_s[0, 0] = jnp.sum(w1v * w1v) + jnp.sum(w2v * w2v)
+        stats_s[0, 1] = ld
+        d11_ref[:] = L11
+        dst_ref[:] = Lst
+        invd_ref[:] = jnp.concatenate([i1, i2], axis=0)
+
+    @pl.when(j > 0)
+    def _():
+        cp11, cpst = cp11_s[:], cpst_s[:]
+        s11, sst = wb.wmm_nt(cp11, cpst, cp11, cpst)
+        p11, pst = r11 - s11, rst - sst
+        L11, Lst, i1, i2, ld = wb.wchol(p11, pst)
+        D = (L11, Lst, i1, i2)
+        m11, mst = wb.wmm(cp11, cpst, w011_s[:], w0st_s[:])
+        w011, w0st = wb.wsolve_lower(*D, m11, mst)
+        w011, w0st = -w011, -w0st
+        wprev = w_s[:]
+        cv1, cv2 = wb.wmv(cp11, cpst, wprev[:8], wprev[8:])
+        w1v, w2v = wb.wsolve_lower_vec(*D, y1 - cv1, y2 - cv2)
+        c11, cst = cprev_from(D, o11, ost)
+        cp11_s[:] = c11
+        cpst_s[:] = cst
+        w011_s[:] = w011
+        w0st_s[:] = w0st
+        w_s[:] = jnp.concatenate([w1v, w2v], axis=0)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = acc11_s[:] + a11
+        accst_s[:] = accst_s[:] + ast
+        g1, g2 = wb.wmv_t(w011, w0st, w1v, w2v)
+        accy0_s[:] = accy0_s[:] + jnp.concatenate([g1, g2], axis=0)
+        stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w1v * w1v) + jnp.sum(
+            w2v * w2v)
+        stats_s[0, 1] = stats_s[0, 1] + ld
+        d11_ref[:] = L11
+        dst_ref[:] = Lst
+        invd_ref[:] = jnp.concatenate([i1, i2], axis=0)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc11_ref[:] = acc11_s[:]
+        accst_ref[:] = accst_s[:]
+        accy0_ref[:] = accy0_s[:]
+        w011_ref[:] = w011_s[:]
+        w0st_ref[:] = w0st_s[:]
+        wl_ref[:] = w_s[:]
+        ct = pl.program_id(0)
+        stats_ref[ct, 0] = stats_s[0, 0]
+        stats_ref[ct, 1] = stats_s[0, 1]
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_wide_pallas(R11: Array, Rst: Array, O11: Array,
+                              Ost: Array, y_cm: Array,
+                              jitter: float = 0.0):
+    """Fused forward sweep on wide-layout chunk-major inputs.
+
+    R11/O11: [s, 8, 8, C]; Rst/Ost: [s, 3e, 8, C]; y_cm: [s, d, C] with
+    d = 8 + e.  Same contract as `pallas_sweep.forward_sweep_pallas`
+    with the matrix outputs in wide form:
+    (acc11, accst, accy0 [d, C], w011, w0st, w_last [d, C],
+     d11, dst, invd [d, C], mh, ld), all sliced to the true C.
+    """
+    s = R11.shape[0]
+    e = Rst.shape[1] // 3
+    d = 8 + e
+    ct = _ct_for(d)
+    # pad the chunk axis (identity diag / zero off / zero y -- exact)
+    c = R11.shape[-1]
+    cpad = -(-c // ct) * ct
+    if cpad != c:
+        p = cpad - c
+        eye8 = jnp.broadcast_to(
+            jnp.eye(8, dtype=R11.dtype)[None, :, :, None], (s, 8, 8, p)
+        )
+        eye_e = jnp.concatenate([
+            jnp.zeros((s, 2 * e, 8, p), dtype=R11.dtype),
+            jnp.broadcast_to(
+                jnp.eye(e, 8, dtype=R11.dtype)[None, :, :, None],
+                (s, e, 8, p)),
+        ], axis=1)
+        R11 = jnp.concatenate([R11, eye8], axis=-1)
+        Rst = jnp.concatenate([Rst, eye_e], axis=-1)
+        O11 = jnp.concatenate(
+            [O11, jnp.zeros((s, 8, 8, p), dtype=R11.dtype)], axis=-1)
+        Ost = jnp.concatenate(
+            [Ost, jnp.zeros((s, 3 * e, 8, p), dtype=R11.dtype)], axis=-1)
+        y_cm = jnp.concatenate(
+            [y_cm, jnp.zeros((s, d, p), dtype=R11.dtype)], axis=-1)
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R11.dtype)
+    y3 = y_cm[:, :, None, :]
+
+    def b11(idx):
+        return pl.BlockSpec((1, 8, 8, ct), idx, memory_space=pltpu.VMEM)
+
+    def bst(idx):
+        return pl.BlockSpec((1, 3 * e, 8, ct), idx,
+                            memory_space=pltpu.VMEM)
+
+    step = lambda t, j: (j + 1, 0, 0, t)  # noqa: E731
+    first = lambda t, j: (0, 0, 0, t)  # noqa: E731
+    out11 = pl.BlockSpec((8, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outst = pl.BlockSpec((3 * e, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                        memory_space=pltpu.VMEM)
+    m11 = jax.ShapeDtypeStruct((8, 8, cpad), R11.dtype)
+    mst = jax.ShapeDtypeStruct((3 * e, 8, cpad), R11.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R11.dtype)
+
+    outs = pl.pallas_call(
+        _wide_sweep_kernel,
+        grid=(nct, s - 1),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            b11(step), bst(step), b11(step), bst(step),
+            b11(first), bst(first),
+            pl.BlockSpec((1, d, 1, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out11, outst, outv, out11, outst, outv,
+                   out11, outst, outv,
+                   pl.BlockSpec((nct, 2), lambda t, j: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[m11, mst, vec, m11, mst, vec, m11, mst, vec,
+                   jax.ShapeDtypeStruct((nct, 2), R11.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((d, 1, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((d, 1, ct), R11.dtype),
+            pltpu.SMEM((1, 2), R11.dtype),
+        ],
+    )(jit_arr, R11, Rst, O11, Ost, O11, Ost, y3)
+    (acc11, accst, accy0, w011, w0st, wl, d11, dst, invd, stats) = outs
+
+    def cut(x):
+        return x[..., :c]
+
+    mh = jnp.sum(stats[:, 0])
+    ld = jnp.sum(stats[:, 1])
+    if cpad != c and jitter:
+        from cyclic_gps_tpu.ops.pallas_sweep import _pad_jitter_ld
+
+        ld = ld - _pad_jitter_ld(s, d, cpad - c, jitter, R11.dtype)
+    return (cut(acc11), cut(accst), cut(accy0)[:, 0, :],
+            cut(w011), cut(w0st), cut(wl)[:, 0, :],
+            cut(d11), cut(dst), cut(invd)[:, 0, :], mh, ld)

@@ -262,9 +262,14 @@ def mahal_and_logdet(
     stays on the XLA scan.
     """
     n = diag.shape[0]
+    d = diag.shape[1]
     s = s or default_chunk_len(n)
     if n < max(_TERMINAL, 2 * s):
         return cr.mahal_and_logdet(diag, off, y, jitter=jitter)
+    if 8 < d < 16 and resolve_backend(backend) == "pallas":
+        # wide-layout kernel: 8-aligned DMA + fully-packed VPU ops
+        # (the plain layout pays 8*ceil(d/8)/d on both); analytic VJP
+        return _mahal_wide(diag, off, y, s, jitter)
     R_cm, O_cm, y_cm, _ = _chunk_layout(diag, off, y, s)
     return mahal_and_logdet_cm(R_cm, O_cm, y_cm, jitter, backend)
 
@@ -377,6 +382,128 @@ def mahal_and_logdet_cm(R_cm: Array, O_cm: Array, y_cm: Array,
     (`_mahal_cm_bwd`: one solve + one selected inversion, O(1) stored
     state)."""
     return _mahal_cm(R_cm, O_cm, y_cm, jitter, resolve_backend(backend))
+
+
+# ---------------------------------------------------------------------------
+# WIDE (8 < d < 16) Pallas path.  The plain [s, d, d, C] layout pads the
+# block-column dimension to 8*ceil(d/8) sublanes in registers AND in
+# tiled HBM storage/DMA -- 78% overhead at d = 9 (the measured 2.2x
+# family-table step).  ops/wideblock's 8-aligned representation removes
+# it; ops/pallas_wide runs the fused sweep on it.  d = 16 is exactly two
+# tiles and gains nothing; d <= 8 is one tile.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_layout_wide(diag: Array, off: Array, y: Array, s: int):
+    """Natural [N, d, d] -> WIDE chunk-major
+    (R11 [s, 8, 8, C], Rst [s, 3e, 8, C], O11, Ost, y_cm [s, d, C], C).
+
+    Built straight from the natural arrays (one relayout pass writing
+    8-aligned outputs); padding blocks are identity / zero as in
+    `_chunk_layout`."""
+    n, d, _ = diag.shape
+    e = d - 8
+    c = -(-n // s)
+    m = c * s
+    if m > n:
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=diag.dtype)[None], (m - n, d, d)
+        )
+        diag = jnp.concatenate([diag, eye], axis=0)
+        y = jnp.concatenate(
+            [y, jnp.zeros((m - n, d), dtype=y.dtype)], axis=0
+        )
+    off = jnp.concatenate(
+        [off, jnp.zeros((m - n + 1, d, d), dtype=diag.dtype)], axis=0
+    )
+
+    def wide(x4):
+        a11 = jnp.transpose(x4[:, :, :8, :8], (1, 2, 3, 0))
+        a21 = jnp.transpose(x4[:, :, 8:, :8], (1, 2, 3, 0))
+        a12t = jnp.transpose(x4[:, :, :8, 8:], (1, 3, 2, 0))
+        a22 = jnp.transpose(x4[:, :, 8:, 8:], (1, 2, 3, 0))
+        a22 = jnp.concatenate(
+            [a22, jnp.zeros(a22.shape[:2] + (8 - e,) + a22.shape[3:],
+                            dtype=x4.dtype)], axis=2
+        )
+        return a11, jnp.concatenate([a21, a12t, a22], axis=1)
+
+    r11, rst = wide(diag.reshape(c, s, d, d))
+    o11, ost = wide(off.reshape(c, s, d, d))
+    y_cm = jnp.transpose(y.reshape(c, s, d), (1, 2, 0))
+    return r11, rst, o11, ost, y_cm, c
+
+
+def mahal_and_logdet_wide(r11, rst, o11, ost, y_cm,
+                          jitter: float = 0.0):
+    """Fused (mahal, logdet) on ALREADY wide-layout chunk-major inputs
+    (see `_chunk_layout_wide` for the format) -- what an emission layer
+    that builds blocks elementwise for 8 < d < 16 hands over directly.
+    Forward-only entry (the differentiable route is the natural-layout
+    `mahal_and_logdet`, whose analytic VJP covers the wide primal)."""
+    c = r11.shape[-1]
+    return _mahal_wide_cm_primal(r11, rst, o11, ost, y_cm, c, jitter)
+
+
+def _mahal_wide_primal(diag, off, y, s, jitter):
+    r11, rst, o11, ost, y_cm, c = _chunk_layout_wide(diag, off, y, s)
+    return _mahal_wide_cm_primal(r11, rst, o11, ost, y_cm, c, jitter)
+
+
+def _mahal_wide_cm_primal(r11, rst, o11, ost, y_cm, c, jitter):
+    from cyclic_gps_tpu.ops import wideblock as wb
+    from cyclic_gps_tpu.ops.pallas_wide import forward_sweep_wide_pallas
+
+    s = r11.shape[0]
+    (acc11, accst, accy0, w011, w0st, wl, d11, dst, invd, mh,
+     ld) = forward_sweep_wide_pallas(r11, rst, o11, ost, y_cm,
+                                     jitter=jitter)
+    # C-sized conversions for the reduced boundary system (plain layout)
+    state = _SweepState(
+        None, wb.from_wide(w011, w0st), wl, wb.from_wide(d11, dst),
+        invd, wb.from_wide(acc11, accst), accy0, mh, ld,
+    )
+    o_last = wb.from_wide(o11[s - 1], ost[s - 1])
+    w1 = sb.solve_lower(state.dj, state.invd, sb.transpose(o_last))
+    r0 = wb.from_wide(r11[0], rst[0])
+    red_diag, red_off, red_rhs = _reduced_system(
+        r0[None], y_cm[:1], state, w1
+    )
+    red_mh, red_ld = _mahal_and_logdet_impl(
+        sb.from_em(red_diag),
+        sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs),
+        None,
+        jitter,
+    )
+    return state.mh + red_mh, 2.0 * state.ld + red_ld
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mahal_wide(diag, off, y, s, jitter):
+    return _mahal_wide_primal(diag, off, y, s, jitter)
+
+
+def _mahal_wide_fwd(diag, off, y, s, jitter):
+    return _mahal_wide_primal(diag, off, y, s, jitter), (diag, off, y)
+
+
+def _mahal_wide_bwd(s, jitter, res, cots):
+    """Same analytic adjoint as `_mahal_cm_bwd`, natural layout."""
+    diag, off, y = res
+    gm, gl = cots
+    n, d, _ = diag.shape
+    x, _ = _solve_impl(diag, off, y, None, jitter)
+    sig_diag, sig_off = _inverse_impl(diag, off, None, jitter)
+    xo = x[:, :, None] * x[:, None, :]
+    xo_off = x[1:, :, None] * x[:-1, None, :]
+    g_diag = gl * sig_diag - gm * xo
+    g_off = 2.0 * (gl * sig_off - gm * xo_off)
+    g_y = 2.0 * gm * x
+    return g_diag, g_off, g_y
+
+
+_mahal_wide.defvjp(_mahal_wide_fwd, _mahal_wide_bwd)
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))

@@ -99,6 +99,47 @@ def main():
             print(json.dumps({
                 "metric": f"{name}_n1e6_d{d}", "value": round(ms, 3),
                 "unit": "ms", "backend": backend}), flush=True)
+        if on_tpu and 8 < d < 16:
+            # wide 8-aligned layout (ops/wideblock): the native on-device
+            # format for 8 < d < 16, prebuilt like the chunk-major inputs
+            diag, off, yv = make_system_nat(N, d)
+            s = pt.default_chunk_len(N)
+            r11, rst, o11, ost, y_cmw, _ = pt._chunk_layout_wide(
+                diag, off, yv, s)
+            r11, rst, o11, ost, y_cmw = jax.block_until_ready(
+                (r11, rst, o11, ost, y_cmw))
+            @jax.jit
+            def wide_loop(r11, rst, o11, ost, y, c):
+                # arrays as ARGUMENTS, not closures (closed-over device
+                # arrays serialize into the remote-compile request)
+                def body(i, acc):
+                    mh, ld = pt.mahal_and_logdet_wide(
+                        r11, rst, o11, ost,
+                        y * (c + 1e-9 * i.astype(y.dtype)))
+                    return acc + mh + ld
+                return jax.lax.fori_loop(0, K, body,
+                                         jnp.zeros((), y.dtype))
+
+            def run_wide(c):
+                return float(wide_loop(r11, rst, o11, ost, y_cmw, c))
+
+            try:
+                run_wide(1.0)
+                times = []
+                for i in range(5):
+                    t0 = time.time()
+                    run_wide(1.0 + i * 1e-6)
+                    times.append((time.time() - t0) / K)
+                ms = float(np.median(times) * 1e3)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(json.dumps({
+                    "metric": f"mahal_logdet_wide_n1e6_d{d}",
+                    "error": str(e)[:120]}), flush=True)
+            else:
+                print(json.dumps({
+                    "metric": f"mahal_logdet_wide_n1e6_d{d}",
+                    "value": round(ms, 3), "unit": "ms",
+                    "backend": "pallas-wide"}), flush=True)
         if "--natural" in sys.argv or d == 5:
             # the library-API entry: natural [N, d, d] inputs, relayout
             # included (VERDICT r2 #6)
