@@ -661,3 +661,162 @@ def sample_states(ssm: SSM, key: jax.Array) -> Array:
 
     _, zs = jax.lax.scan(step, jnp.zeros(rank, ssm.a.dtype), (ssm.a, chol_q, ws))
     return zs
+
+
+# ---------------------------------------------------------------------------
+# Steady-state Kalman likelihood for REGULAR grids (round 3).
+#
+# On a uniform grid the Riccati recursion P_{k+1} = A(P - K S K^T)A^T + Q
+# is data-independent and converges geometrically to the DARE fixed point;
+# past the switch point t0 the filter has CONSTANT (F, G, S):
+#
+#     m^-_{k+1} = F m^-_k + G y_k,     e_k = y_k - H m^-_k,
+#     ll_k = -1/2 (e_k^T S^{-1} e_k + log|2 pi S|),
+#
+# a constant-coefficient affine recurrence whose solution is a
+# convolution: chunk the tail into blocks of B, precompute the powers
+# F^j and the block-Toeplitz response H F^{j-1-i} G, and the whole tail
+# collapses into a handful of DENSE MXU MATMULS plus one tiny [r, r]
+# affine associative scan over chunk carries.  The general-gap filter's
+# per-element pivoted LU combines (the exact associative filter) cost
+# ~44 s per train step at T = 1e7 on-chip; this path is matmul-bound.
+#
+# Exact to working precision provided the Riccati iteration has
+# converged by t0 (geometric rate ~ |stable eigs|^2; use
+# `steady_state_gap` ONCE outside jit to validate t0 for a given model
+# scale -- the train loop's auto-selection does).  Reference analog:
+# the filterpy timing script's sequential filter (kalman_timing_script
+# .py:25-27), which has no answer at this scale.
+# ---------------------------------------------------------------------------
+
+
+def _riccati_step(a, q, h, r_obs, p):
+    """One predicted-covariance Riccati step; returns
+    (p_next, F, G, chol_S, logdet_S)."""
+    rank = a.shape[0]
+    s = h @ p @ h.T + r_obs
+    sl = jnp.linalg.cholesky(s)
+    kt = jax.scipy.linalg.cho_solve((sl, True), h @ p)  # [obs, r] = K^T
+    k = kt.T
+    f = a @ (jnp.eye(rank, dtype=a.dtype) - k @ h)
+    g = a @ k
+    p_next = a @ (p - k @ s @ k.T) @ a.T + q
+    p_next = 0.5 * (p_next + p_next.T)
+    ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(sl)))
+    return p_next, f, g, sl, ld
+
+
+def steady_state_gap(a: Array, q: Array, h: Array, r_obs: Array,
+                     t0: int = 512) -> float:
+    """Relative sup-norm Riccati residual at the switch point t0.
+
+    Run ONCE (outside jit) to validate that `log_likelihood_steady`'s
+    constant-gain tail is exact to working precision for this model:
+    the residual bounds the gain error, which enters the likelihood
+    linearly."""
+    p = jnp.eye(a.shape[0], dtype=a.dtype)
+
+    def body(p, _):
+        p_next, *_ = _riccati_step(a, q, h, r_obs, p)
+        return p_next, None
+
+    p_prev, _ = jax.lax.scan(body, p, None, length=t0 - 1)
+    p_last, *_ = _riccati_step(a, q, h, r_obs, p_prev)
+    return float(jnp.max(jnp.abs(p_last - p_prev))
+                 / jnp.maximum(jnp.max(jnp.abs(p_last)), 1e-30))
+
+
+@partial(jax.jit, static_argnames=("t0", "block"))
+@_highest_precision
+def log_likelihood_steady(a: Array, q: Array, h: Array, r_obs: Array,
+                          xs: Array, t0: int = 512,
+                          block: int = 128) -> Array:
+    """Marginal log-likelihood on a REGULAR grid via the steady-state
+    filter: exact transient for the first ``t0`` steps (per-step Riccati
+    gains), constant-gain convolution (MXU matmuls) for the tail.
+
+    a/q [r, r] constant per-step transition / process noise, h [obs, r],
+    r_obs [obs, obs]; xs [T, obs] with T > t0.  Equal to
+    ``filter_parallel(ssm, xs)[2]`` once the Riccati recursion has
+    converged by t0 (check `steady_state_gap`; tests/test_models.py).
+    """
+    t, obs = xs.shape
+    rank = a.shape[0]
+    dtype = a.dtype
+    two_pi = 2.0 * jnp.pi
+
+    # ---- transient: t0 Riccati steps + the mean recursion through them
+    def ric(p, _):
+        p_next, f, g, sl, ld = _riccati_step(a, q, h, r_obs, p)
+        return p_next, (f, g, sl, ld)
+
+    p_inf, (fs, gs, sls, lds) = jax.lax.scan(
+        ric, jnp.eye(rank, dtype=dtype), None, length=t0
+    )
+
+    def mstep(m, inp):
+        f, g, sl, ld, y = inp
+        e = y - h @ m
+        z = jax.scipy.linalg.solve_triangular(sl, e, lower=True)
+        llk = -0.5 * (jnp.sum(z * z) + ld + obs * jnp.log(two_pi))
+        return f @ m + g @ y, llk
+
+    m_t0, ll_tr = jax.lax.scan(
+        mstep, jnp.zeros((rank,), dtype), (fs, gs, sls, lds, xs[:t0])
+    )
+    ll = jnp.sum(ll_tr)
+
+    # ---- steady-state tail as chunked convolution
+    _, f_ss, g_ss, sl_ss, ld_ss = _riccati_step(a, q, h, r_obs, p_inf)
+    tp = t - t0
+    b = block
+    c = -(-tp // b)
+    y_tail = jnp.concatenate(
+        [xs[t0:], jnp.zeros((c * b - tp, obs), dtype)], axis=0
+    )
+    valid = (jnp.arange(c * b) < tp).reshape(c, b)
+    yc = y_tail.reshape(c, b, obs)
+    yc_flat = yc.reshape(c, b * obs)
+
+    # powers F^j (j = 0..B) and responses F^j G
+    def pw(m, _):
+        return f_ss @ m, m
+
+    _, pows = jax.lax.scan(pw, jnp.eye(rank, dtype=dtype), None,
+                           length=b + 1)        # pows[j] = F^j
+    fB = pows[b]
+    pow_g = pows[:b] @ g_ss                      # [B, r, obs] F^j G
+    hw = (h[None] @ pows[:b]).reshape(b * obs, rank)  # rows H F^j
+
+    # chunk carry u_c = sum_i F^{B-1-i} G y_i  ->  yc_flat @ U^T
+    u_mat = jnp.flip(pow_g, axis=0)              # [B, r, obs], idx i
+    u_mat = jnp.transpose(u_mat, (1, 0, 2)).reshape(rank, b * obs)
+    u = yc_flat @ u_mat.T                        # [C, r]
+
+    # block-Toeplitz response (through H): hM[j, i] = H F^{j-1-i} G, i<j
+    hg = h[None] @ pow_g                         # [B, obs, obs] H F^j G
+    ji = jnp.arange(b)[:, None] - 1 - jnp.arange(b)[None, :]  # j - 1 - i
+    hM4 = hg[jnp.clip(ji, 0, b - 1)]             # [B, B, obs, obs]
+    hM4 = jnp.where((ji >= 0)[:, :, None, None], hM4, 0.0)
+    hM = jnp.transpose(hM4, (0, 2, 1, 3)).reshape(b * obs, b * obs)
+
+    # chunk-start means: m_0 = m_t0; m_{c+1} = F^B m_c + u_c
+    aa = jnp.broadcast_to(fB[None], (c, rank, rank))
+
+    def comb(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a2 @ a1, (a2 @ b1[..., None])[..., 0] + b2
+
+    pa, pb = jax.lax.associative_scan(comb, (aa, u))
+    applied = (pa @ m_t0[None, :, None])[..., 0] + pb  # m_{c+1}
+    m_start = jnp.concatenate([m_t0[None], applied[:-1]], axis=0)
+
+    # innovations through H: e = y - (m_start @ hw^T + yc_flat @ hM^T)
+    hm = m_start @ hw.T + yc_flat @ hM.T         # [C, B*obs]
+    e = (yc_flat - hm).reshape(c * b, obs)
+    z = jax.scipy.linalg.solve_triangular(sl_ss, e.T, lower=True)  # [obs, CB]
+    quad = jnp.sum(z * z, axis=0) * valid.reshape(-1)
+    ll_tail = -0.5 * (jnp.sum(quad)
+                      + tp * (ld_ss + obs * jnp.log(two_pi)))
+    return ll + ll_tail

@@ -68,10 +68,35 @@ def nll_loss_kalman_regular(params: leg.LEGParams, ts: Array,
     return -_kalman_ll(params, ts, xs, regular=True) / xs.size
 
 
+SS_T0 = 2048  # steady-state switch point: exact for decay rates
+              # lambda*dt > ~ -ln(eps)/(2*SS_T0) ~ 0.004
+
+
+def nll_loss_kalman_steady(params: leg.LEGParams, ts: Array,
+                           xs: Array) -> Array:
+    """Uniform-grid NLL via the STEADY-STATE filter: exact per-step
+    Riccati gains for the first SS_T0 steps, then the constant-gain
+    tail as dense MXU-matmul convolutions (kalman.log_likelihood_steady)
+    — the fast path for large-T f32 training (the exact associative
+    filter's per-element LU combines cost ~44 s/step at T = 1e7; this is
+    matmul-bound).  Exact to working precision while the Riccati
+    recursion converges within SS_T0 steps; `fit` auto-selects it only
+    after checking `kalman.steady_state_gap` at the initial parameters,
+    and a fit drifting to an extremely smooth process (decay rate
+    lambda*dt < ~0.004) should force loss="kalman_regular" instead."""
+    from cyclic_gps_tpu.baselines import kalman
+
+    ssm = kalman.leg_to_ssm(params, ts, regular=True)
+    return -kalman.log_likelihood_steady(
+        ssm.a[0], ssm.q[0], ssm.h, ssm.r, xs, t0=SS_T0
+    ) / xs.size
+
+
 LOSSES = {
     "cr": nll_loss,
     "kalman": nll_loss_kalman,
     "kalman_regular": nll_loss_kalman_regular,
+    "kalman_ss": nll_loss_kalman_steady,
 }
 
 
@@ -154,6 +179,19 @@ def fit(
             d = np.diff(np.asarray(ts))
             uniform = d.size > 0 and np.allclose(d, d[0], rtol=1e-6, atol=0)
             loss = "kalman_regular" if uniform else "kalman"
+            if uniform and xs.shape[0] > 8 * SS_T0:
+                # steady-state fast path if the Riccati recursion is
+                # safely converged at the INITIAL parameters (margin:
+                # half the switch point); see nll_loss_kalman_steady
+                from cyclic_gps_tpu.baselines import kalman
+
+                ssm0 = kalman.leg_to_ssm(params, ts[: SS_T0 + 2],
+                                         regular=True)
+                gap = kalman.steady_state_gap(
+                    ssm0.a[0], ssm0.q[0], ssm0.h, ssm0.r, t0=SS_T0 // 2
+                )
+                if gap < 1e-6:
+                    loss = "kalman_ss"
     opt = make_optimizer(optimizer, lr)
     opt_state = opt.init(params)
     losses = []

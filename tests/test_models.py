@@ -410,3 +410,41 @@ def test_intercast_element_major_matches_batched():
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_steady_state_likelihood_matches_filter():
+    """log_likelihood_steady (transient Riccati + constant-gain MXU-
+    convolution tail) == the exact associative filter, value AND
+    parameter gradient, including a non-block-aligned tail."""
+    rank, d, t = 3, 2, 600
+    params = leg.init_params(jax.random.key(8), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+    ts = jnp.arange(t, dtype=jnp.float64) * 0.5
+    rng = np.random.RandomState(4)
+    xs = jnp.asarray(rng.randn(t, d))
+    ssm = kalman.leg_to_ssm(params, ts, regular=True)
+
+    gap = kalman.steady_state_gap(ssm.a[0], ssm.q[0], ssm.h, ssm.r,
+                                  t0=128)
+    assert gap < 1e-14  # converged: the comparison below is exact
+
+    ll_ref = kalman.filter_parallel(ssm, xs)[2]
+    ll_ss = kalman.log_likelihood_steady(ssm.a[0], ssm.q[0], ssm.h,
+                                         ssm.r, xs, t0=128, block=64)
+    np.testing.assert_allclose(float(ll_ss), float(ll_ref), rtol=1e-12)
+
+    def loss_ss(p):
+        s = kalman.leg_to_ssm(p, ts, regular=True)
+        return -kalman.log_likelihood_steady(s.a[0], s.q[0], s.h, s.r,
+                                             xs, t0=128, block=64)
+
+    def loss_ref(p):
+        return -kalman.filter_parallel(
+            kalman.leg_to_ssm(p, ts, regular=True), xs)[2]
+
+    g1 = jax.grad(loss_ss)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
