@@ -690,6 +690,45 @@ def sample_states(ssm: SSM, key: jax.Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _affine_prefix(fB: Array, u: Array, m0: Array,
+                   b2: int = 128) -> Array:
+    """Prefixes of m_{c+1} = fB m_c + u_c with m_0 = m0: returns the
+    START values m_c [C, r].  Two-level: super-chunks of b2 handled by
+    precomputed fB powers and one block-Toeplitz matmul; a short
+    lax.scan carries across the ~C/b2 super-chunks."""
+    c, rank = u.shape
+    dtype = u.dtype
+    c2 = -(-c // b2)
+    u_pad = jnp.concatenate(
+        [u, jnp.zeros((c2 * b2 - c, rank), dtype)], axis=0
+    ).reshape(c2, b2, rank)
+
+    def pw(m, _):
+        return fB @ m, m
+
+    _, pows = jax.lax.scan(pw, jnp.eye(rank, dtype=dtype), None,
+                           length=b2 + 1)       # pows[j] = fB^j
+
+    # super-chunk carry inputs: u2_k = sum_i fB^{b2-1-i} u_{k,i}
+    u2 = jnp.einsum("irs,kis->kr", jnp.flip(pows[:b2], axis=0), u_pad)
+
+    def step(m, u2k):
+        return pows[b2] @ m + u2k, m
+
+    _, m2 = jax.lax.scan(step, m0, u2)           # super-chunk starts
+
+    # within super-chunk: m_{k,j} = fB^j m2_k + sum_{i<j} fB^{j-1-i} u_i
+    ji = jnp.arange(b2)[:, None] - 1 - jnp.arange(b2)[None, :]
+    t4 = pows[jnp.clip(ji, 0, b2 - 1)]           # [b2, b2, r, r]
+    t4 = jnp.where((ji >= 0)[:, :, None, None], t4, 0.0)
+    m2mat = jnp.transpose(t4, (0, 2, 1, 3)).reshape(b2 * rank,
+                                                    b2 * rank)
+    conv = (u_pad.reshape(c2, b2 * rank) @ m2mat.T).reshape(
+        c2, b2, rank)
+    m_start = jnp.einsum("jrs,ks->kjr", pows[:b2], m2) + conv
+    return m_start.reshape(c2 * b2, rank)[:c]
+
+
 def _riccati_step(a, q, h, r_obs, p):
     """One predicted-covariance Riccati step; returns
     (p_next, F, G, chol_S, logdet_S)."""
@@ -800,17 +839,12 @@ def log_likelihood_steady(a: Array, q: Array, h: Array, r_obs: Array,
     hM4 = jnp.where((ji >= 0)[:, :, None, None], hM4, 0.0)
     hM = jnp.transpose(hM4, (0, 2, 1, 3)).reshape(b * obs, b * obs)
 
-    # chunk-start means: m_0 = m_t0; m_{c+1} = F^B m_c + u_c
-    aa = jnp.broadcast_to(fB[None], (c, rank, rank))
-
-    def comb(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a2 @ a1, (a2 @ b1[..., None])[..., 0] + b2
-
-    pa, pb = jax.lax.associative_scan(comb, (aa, u))
-    applied = (pa @ m_t0[None, :, None])[..., 0] + pb  # m_{c+1}
-    m_start = jnp.concatenate([m_t0[None], applied[:-1]], axis=0)
+    # chunk-start means: m_0 = m_t0; m_{c+1} = F^B m_c + u_c.
+    # Hierarchical (NOT lax.associative_scan over the ~1e5 chunks: its
+    # unrolled log-depth trace made the 1e7 gradient un-compilable on
+    # the remote compiler): one more convolution level over super-chunks
+    # of B2, leaving a tiny O(C/B2)-step scan with an [r, r] body.
+    m_start = _affine_prefix(fB, u, m_t0)
 
     # innovations through H: e = y - (m_start @ hw^T + yc_flat @ hM^T)
     hm = m_start @ hw.T + yc_flat @ hM.T         # [C, B*obs]
