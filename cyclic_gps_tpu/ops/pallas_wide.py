@@ -8,10 +8,11 @@ packed -- for d = 9 the plain [d, d, C] layout moves and processes
 16/9 = 1.78x the useful data (sublane tiling), which is exactly the
 measured d = 8 -> 9 step in the family benchmark.
 
-Only the fused (mahal, logdet) sweep is implemented here (the family
-metric's other entry, the solve path, still runs the plain kernels);
-the reduced boundary system and its assembly are C-sized and stay on
-the XLA side in the plain layout.
+Three kernels: the fused (mahal, logdet) sweep, the same sweep with
+per-step 'hat' back-substitution factors streamed to HBM (the solve
+path's first pass), and the descending-order back-substitution.  The
+reduced boundary system and its assembly are C-sized and stay on the
+XLA side in the plain layout.
 """
 
 from __future__ import annotations
@@ -129,6 +130,38 @@ def _wide_sweep_kernel(jit_ref, r11_ref, rst_ref, o11_ref, ost_ref,
         stats_ref[ct, 1] = stats_s[0, 1]
 
 
+def _pad_chunks_wide(R11, Rst, O11, Ost, y_cm, ct):
+    """Pad the chunk axis to a multiple of the kernel tile ``ct`` with
+    identity-diagonal / zero chunks (exact; wide twin of
+    `pallas_sweep._pad_chunks`).  Returns the padded arrays + true C."""
+    s = R11.shape[0]
+    e = Rst.shape[1] // 3
+    d = 8 + e
+    c = R11.shape[-1]
+    cpad = -(-c // ct) * ct
+    if cpad == c:
+        return R11, Rst, O11, Ost, y_cm, c
+    p = cpad - c
+    eye8 = jnp.broadcast_to(
+        jnp.eye(8, dtype=R11.dtype)[None, :, :, None], (s, 8, 8, p)
+    )
+    eye_e = jnp.concatenate([
+        jnp.zeros((s, 2 * e, 8, p), dtype=R11.dtype),
+        jnp.broadcast_to(
+            jnp.eye(e, 8, dtype=R11.dtype)[None, :, :, None],
+            (s, e, 8, p)),
+    ], axis=1)
+    R11 = jnp.concatenate([R11, eye8], axis=-1)
+    Rst = jnp.concatenate([Rst, eye_e], axis=-1)
+    O11 = jnp.concatenate(
+        [O11, jnp.zeros((s, 8, 8, p), dtype=R11.dtype)], axis=-1)
+    Ost = jnp.concatenate(
+        [Ost, jnp.zeros((s, 3 * e, 8, p), dtype=R11.dtype)], axis=-1)
+    y_cm = jnp.concatenate(
+        [y_cm, jnp.zeros((s, d, p), dtype=R11.dtype)], axis=-1)
+    return R11, Rst, O11, Ost, y_cm, c
+
+
 @partial(jax.jit, static_argnames=("jitter",))
 def forward_sweep_wide_pallas(R11: Array, Rst: Array, O11: Array,
                               Ost: Array, y_cm: Array,
@@ -145,28 +178,9 @@ def forward_sweep_wide_pallas(R11: Array, Rst: Array, O11: Array,
     e = Rst.shape[1] // 3
     d = 8 + e
     ct = _ct_for(d)
-    # pad the chunk axis (identity diag / zero off / zero y -- exact)
-    c = R11.shape[-1]
-    cpad = -(-c // ct) * ct
-    if cpad != c:
-        p = cpad - c
-        eye8 = jnp.broadcast_to(
-            jnp.eye(8, dtype=R11.dtype)[None, :, :, None], (s, 8, 8, p)
-        )
-        eye_e = jnp.concatenate([
-            jnp.zeros((s, 2 * e, 8, p), dtype=R11.dtype),
-            jnp.broadcast_to(
-                jnp.eye(e, 8, dtype=R11.dtype)[None, :, :, None],
-                (s, e, 8, p)),
-        ], axis=1)
-        R11 = jnp.concatenate([R11, eye8], axis=-1)
-        Rst = jnp.concatenate([Rst, eye_e], axis=-1)
-        O11 = jnp.concatenate(
-            [O11, jnp.zeros((s, 8, 8, p), dtype=R11.dtype)], axis=-1)
-        Ost = jnp.concatenate(
-            [Ost, jnp.zeros((s, 3 * e, 8, p), dtype=R11.dtype)], axis=-1)
-        y_cm = jnp.concatenate(
-            [y_cm, jnp.zeros((s, d, p), dtype=R11.dtype)], axis=-1)
+    R11, Rst, O11, Ost, y_cm, c = _pad_chunks_wide(
+        R11, Rst, O11, Ost, y_cm, ct)
+    cpad = R11.shape[-1]
     nct = cpad // ct
     jit_arr = jnp.full((1, 1), jitter, dtype=R11.dtype)
     y3 = y_cm[:, :, None, :]
@@ -233,3 +247,303 @@ def forward_sweep_wide_pallas(R11: Array, Rst: Array, O11: Array,
     return (cut(acc11), cut(accst), cut(accy0)[:, 0, :],
             cut(w011), cut(w0st), cut(wl)[:, 0, :],
             cut(d11), cut(dst), cut(invd)[:, 0, :], mh, ld)
+
+
+# ---------------------------------------------------------------------------
+# Forward sweep WITH per-step hat-factor collection + back-substitution:
+# the wide solve path (twin of pallas_sweep's collect/backsub pair).
+# ---------------------------------------------------------------------------
+
+
+def _wide_collect_kernel(jit_ref, r11_ref, rst_ref, o11_ref, ost_ref,
+                         o011_ref, o0st_ref, y_ref,
+                         acc11_ref, accst_ref, accy0_ref,
+                         w011_ref, w0st_ref, wl_ref,
+                         d11_ref, dst_ref, invd_ref, stats_ref,
+                         hc11_ref, hcst_ref, hw011_ref, hw0st_ref, hw_ref,
+                         cp11_s, cpst_s, w011_s, w0st_s, w_s, acc11_s,
+                         accst_s, accy0_s, stats_s):
+    """`_wide_sweep_kernel` plus per-step 'hat' factors streamed to HBM:
+    hat_C = D^{-T} C^T, hat_W0 = D^{-T} W0, hat_w = D^{-T} w (see
+    partitioned._collect_solve)."""
+    j = pl.program_id(1)
+    e = rst_ref.shape[1] // 3
+    dtype = r11_ref.dtype
+
+    eye8 = r11_ref[0] * 0.0 + jnp.eye(8, dtype=dtype)[:, :, None]
+    rows_e = jax.lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    eye_e = rst_ref[0, :e] * 0.0 + (rows_e == cols8).astype(dtype)
+    jit = jit_ref[0, 0]
+    r11 = r11_ref[0] + jit * eye8
+    rst = rst_ref[0] + jit * jnp.concatenate(
+        [eye_e * 0.0, eye_e * 0.0, eye_e], axis=0
+    )
+    o11 = o11_ref[0]
+    ost = ost_ref[0]
+    y_j = y_ref[0]  # [d, 1, ct]
+    y1, y2 = y_j[:8], y_j[8:]
+
+    def couplings(D, o11_, ost_):
+        """C_j = (L^{-1} O^T)^T and hat_C_j = D^{-T} (L^{-1} O^T)."""
+        ot11, otst = wb.wtranspose(o11_, ost_)
+        x11, xst = wb.wsolve_lower(*D, ot11, otst)
+        h11, hst = wb.wsolve_lower_t(*D, x11, xst)
+        c11, cst = wb.wtranspose(x11, xst)
+        return c11, cst, h11, hst
+
+    def emit(D, w011, w0st, w1v, w2v, c11, cst, h11, hst):
+        cp11_s[:] = c11
+        cpst_s[:] = cst
+        w011_s[:] = w011
+        w0st_s[:] = w0st
+        w_s[:] = jnp.concatenate([w1v, w2v], axis=0)
+        d11_ref[:] = D[0]
+        dst_ref[:] = D[1]
+        invd_ref[:] = jnp.concatenate([D[2], D[3]], axis=0)
+        hc11_ref[0] = h11
+        hcst_ref[0] = hst
+        g11, gst = wb.wsolve_lower_t(*D, w011, w0st)
+        hw011_ref[0] = g11
+        hw0st_ref[0] = gst
+        hv1, hv2 = wb.wsolve_lower_t_vec(*D, w1v, w2v)
+        hw_ref[0] = jnp.concatenate([hv1, hv2], axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        L11, Lst, i1, i2, ld = wb.wchol(r11, rst)
+        D = (L11, Lst, i1, i2)
+        w011, w0st = wb.wsolve_lower(*D, o011_ref[0], o0st_ref[0])
+        w1v, w2v = wb.wsolve_lower_vec(*D, y1, y2)
+        c11, cst, h11, hst = couplings(D, o11, ost)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = a11
+        accst_s[:] = ast
+        g1, g2 = wb.wmv_t(w011, w0st, w1v, w2v)
+        accy0_s[:] = jnp.concatenate([g1, g2], axis=0)
+        stats_s[0, 0] = jnp.sum(w1v * w1v) + jnp.sum(w2v * w2v)
+        stats_s[0, 1] = ld
+        emit(D, w011, w0st, w1v, w2v, c11, cst, h11, hst)
+
+    @pl.when(j > 0)
+    def _():
+        cp11, cpst = cp11_s[:], cpst_s[:]
+        s11, sst = wb.wmm_nt(cp11, cpst, cp11, cpst)
+        p11, pst = r11 - s11, rst - sst
+        L11, Lst, i1, i2, ld = wb.wchol(p11, pst)
+        D = (L11, Lst, i1, i2)
+        m11, mst = wb.wmm(cp11, cpst, w011_s[:], w0st_s[:])
+        w011, w0st = wb.wsolve_lower(*D, m11, mst)
+        w011, w0st = -w011, -w0st
+        wprev = w_s[:]
+        cv1, cv2 = wb.wmv(cp11, cpst, wprev[:8], wprev[8:])
+        w1v, w2v = wb.wsolve_lower_vec(*D, y1 - cv1, y2 - cv2)
+        c11, cst, h11, hst = couplings(D, o11, ost)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = acc11_s[:] + a11
+        accst_s[:] = accst_s[:] + ast
+        g1, g2 = wb.wmv_t(w011, w0st, w1v, w2v)
+        accy0_s[:] = accy0_s[:] + jnp.concatenate([g1, g2], axis=0)
+        stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w1v * w1v) + jnp.sum(
+            w2v * w2v)
+        stats_s[0, 1] = stats_s[0, 1] + ld
+        emit(D, w011, w0st, w1v, w2v, c11, cst, h11, hst)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc11_ref[:] = acc11_s[:]
+        accst_ref[:] = accst_s[:]
+        accy0_ref[:] = accy0_s[:]
+        w011_ref[:] = w011_s[:]
+        w0st_ref[:] = w0st_s[:]
+        wl_ref[:] = w_s[:]
+        ct = pl.program_id(0)
+        stats_ref[ct, 0] = stats_s[0, 0]
+        stats_ref[ct, 1] = stats_s[0, 1]
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_collect_wide_pallas(R11: Array, Rst: Array, O11: Array,
+                                      Ost: Array, y_cm: Array,
+                                      jitter: float = 0.0):
+    """Wide forward sweep + hat-factor collection as one Pallas kernel.
+
+    Returns the `forward_sweep_wide_pallas` tuple followed by the hat
+    stacks (hc11 [s-1, 8, 8, cpad], hcst [s-1, 3e, 8, cpad], hw011,
+    hw0st, hw [s-1, d, 1, cpad]) left in padded form (right-padded to
+    the kernel tile multiple; padded chunks yield zero hats -> zero x
+    rows), consumed as-is by `backward_substitute_wide_pallas`.
+    """
+    s = R11.shape[0]
+    e = Rst.shape[1] // 3
+    d = 8 + e
+    ct = _ct_for(d)
+    R11, Rst, O11, Ost, y_cm, c = _pad_chunks_wide(
+        R11, Rst, O11, Ost, y_cm, ct)
+    cpad = R11.shape[-1]
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R11.dtype)
+    y3 = y_cm[:, :, None, :]
+
+    def b11(idx):
+        return pl.BlockSpec((1, 8, 8, ct), idx, memory_space=pltpu.VMEM)
+
+    def bst(idx):
+        return pl.BlockSpec((1, 3 * e, 8, ct), idx,
+                            memory_space=pltpu.VMEM)
+
+    step = lambda t, j: (j + 1, 0, 0, t)  # noqa: E731
+    first = lambda t, j: (0, 0, 0, t)  # noqa: E731
+    hat = lambda t, j: (j, 0, 0, t)  # noqa: E731
+    out11 = pl.BlockSpec((8, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outst = pl.BlockSpec((3 * e, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                        memory_space=pltpu.VMEM)
+    m11 = jax.ShapeDtypeStruct((8, 8, cpad), R11.dtype)
+    mst = jax.ShapeDtypeStruct((3 * e, 8, cpad), R11.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R11.dtype)
+    s11 = jax.ShapeDtypeStruct((s - 1, 8, 8, cpad), R11.dtype)
+    sst = jax.ShapeDtypeStruct((s - 1, 3 * e, 8, cpad), R11.dtype)
+    svec = jax.ShapeDtypeStruct((s - 1, d, 1, cpad), R11.dtype)
+
+    outs = pl.pallas_call(
+        _wide_collect_kernel,
+        grid=(nct, s - 1),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            b11(step), bst(step), b11(step), bst(step),
+            b11(first), bst(first),
+            pl.BlockSpec((1, d, 1, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out11, outst, outv, out11, outst, outv,
+                   out11, outst, outv,
+                   pl.BlockSpec((nct, 2), lambda t, j: (0, 0),
+                                memory_space=pltpu.SMEM),
+                   b11(hat), bst(hat), b11(hat), bst(hat),
+                   pl.BlockSpec((1, d, 1, ct), hat,
+                                memory_space=pltpu.VMEM)],
+        out_shape=[m11, mst, vec, m11, mst, vec, m11, mst, vec,
+                   jax.ShapeDtypeStruct((nct, 2), R11.dtype),
+                   s11, sst, s11, sst, svec],
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((d, 1, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((d, 1, ct), R11.dtype),
+            pltpu.SMEM((1, 2), R11.dtype),
+        ],
+    )(jit_arr, R11, Rst, O11, Ost, O11, Ost, y3)
+    (acc11, accst, accy0, w011, w0st, wl, d11, dst, invd, stats,
+     hc11, hcst, hw011, hw0st, hw) = outs
+
+    def cut(x):
+        return x[..., :c]
+
+    mh = jnp.sum(stats[:, 0])
+    ld = jnp.sum(stats[:, 1])
+    if cpad != c and jitter:
+        from cyclic_gps_tpu.ops.pallas_sweep import _pad_jitter_ld
+
+        ld = ld - _pad_jitter_ld(s, d, cpad - c, jitter, R11.dtype)
+    return (cut(acc11), cut(accst), cut(accy0)[:, 0, :],
+            cut(w011), cut(w0st), cut(wl)[:, 0, :],
+            cut(d11), cut(dst), cut(invd)[:, 0, :], mh, ld,
+            hc11, hcst, hw011, hw0st, hw)
+
+
+def _wide_backsub_kernel(hc11_ref, hcst_ref, hw011_ref, hw0st_ref, hw_ref,
+                         hw111_ref, hw1st_ref, xb_ref, xbn_ref,
+                         x_ref, xnext_s):
+    """One wide back-substitution step on a chunk tile (grid walks steps
+    DESCENDING via the index maps; see pallas_sweep._backsub_kernel):
+
+        x_{s-1} = hat_w - hat_W0 x_b - hat_W1 x_{b,next}
+        x_j     = hat_w - hat_W0 x_b - hat_C x_{j+1}     (pure FMA)
+    """
+    j = pl.program_id(1)
+    xb1, xb2 = xb_ref[:8], xb_ref[8:]
+    h1, h2 = wb.wmv(hw011_ref[0], hw0st_ref[0], xb1, xb2)
+    hw = hw_ref[0]
+    c1 = hw[:8] - h1
+    c2 = hw[8:] - h2
+
+    @pl.when(j == 0)
+    def _():
+        g1, g2 = wb.wmv(hw111_ref[:], hw1st_ref[:], xbn_ref[:8],
+                        xbn_ref[8:])
+        x = jnp.concatenate([c1 - g1, c2 - g2], axis=0)
+        x_ref[0] = x
+        xnext_s[:] = x
+
+    @pl.when(j > 0)
+    def _():
+        xn = xnext_s[:]
+        g1, g2 = wb.wmv(hc11_ref[0], hcst_ref[0], xn[:8], xn[8:])
+        x = jnp.concatenate([c1 - g1, c2 - g2], axis=0)
+        x_ref[0] = x
+        xnext_s[:] = x
+
+
+@jax.jit
+def backward_substitute_wide_pallas(hc11, hcst, hw011, hw0st, hw,
+                                    hw111, hw1st, xb, xb_next):
+    """Wide chunk-interior back-substitution: returns x rows
+    [s-1, d, C] for interior steps j = 1..s-1.
+
+    Hat stacks as produced by `forward_sweep_collect_wide_pallas`
+    (kernel-tile padded); hw111/hw1st: hat_W1 in wide form [8, 8, C] /
+    [3e, 8, C]; xb / xb_next: [d, C].  The C-sized inputs are padded to
+    the stacks' width here.
+    """
+    sm1 = hc11.shape[0]
+    e = hcst.shape[1] // 3
+    d = 8 + e
+    cpad = hc11.shape[-1]
+    c = xb.shape[-1]
+    ct = min(_ct_for(d), cpad)
+    if cpad != c:
+        p = cpad - c
+
+        def padm(a):
+            return jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (p,), dtype=a.dtype)], axis=-1
+            )
+
+        hw111, hw1st = padm(hw111), padm(hw1st)
+        xb, xb_next = padm(xb), padm(xb_next)
+    nct = cpad // ct
+    s2 = sm1 - 1  # grid step j reads stacked row (s2 - j): descending
+    desc11 = pl.BlockSpec((1, 8, 8, ct), lambda t, j: (s2 - j, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+    descst = pl.BlockSpec((1, 3 * e, 8, ct),
+                          lambda t, j: (s2 - j, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+    descv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (s2 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fix11 = pl.BlockSpec((8, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fixst = pl.BlockSpec((3 * e, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fixv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _wide_backsub_kernel,
+        grid=(nct, sm1),
+        in_specs=[desc11, descst, desc11, descst, descv,
+                  fix11, fixst, fixv, fixv],
+        out_specs=pl.BlockSpec((1, d, 1, ct),
+                               lambda t, j: (s2 - j, 0, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sm1, d, 1, cpad), hc11.dtype),
+        scratch_shapes=[pltpu.VMEM((d, 1, ct), hc11.dtype)],
+    )(hc11, hcst, hw011, hw0st, hw,
+      hw111, hw1st, xb[:, None, :], xb_next[:, None, :])
+    return outs[:, :, 0, :c]

@@ -489,12 +489,20 @@ def _mahal_wide_fwd(diag, off, y, s, jitter):
 
 
 def _mahal_wide_bwd(s, jitter, res, cots):
-    """Same analytic adjoint as `_mahal_cm_bwd`, natural layout."""
+    """Same analytic adjoint as `_mahal_cm_bwd`, natural layout.  On TPU
+    the solve runs the WIDE kernels and the selected inversion the plain
+    Pallas pair; on CPU (tests) everything stays on the XLA scans."""
     diag, off, y = res
     gm, gl = cots
     n, d, _ = diag.shape
-    x, _ = _solve_impl(diag, off, y, None, jitter)
-    sig_diag, sig_off = _inverse_impl(diag, off, None, jitter)
+    backend = resolve_backend("auto")
+    if backend == "pallas":
+        x, _ = _solve_wide_primal(diag, off, y, s, jitter)
+        x = x[:n]
+    else:
+        x, _ = _solve_impl(diag, off, y, None, jitter)
+    sig_diag, sig_off = inverse_blocks(diag, off, jitter=jitter,
+                                       backend=backend)
     xo = x[:, :, None] * x[:, None, :]
     xo_off = x[1:, :, None] * x[:-1, None, :]
     g_diag = gl * sig_diag - gm * xo
@@ -504,6 +512,96 @@ def _mahal_wide_bwd(s, jitter, res, cots):
 
 
 _mahal_wide.defvjp(_mahal_wide_fwd, _mahal_wide_bwd)
+
+
+def solve_and_logdet_wide(r11, rst, o11, ost, y_cm, jitter: float = 0.0):
+    """(J^{-1} y [C*s, d] padded natural order, log|J|) on ALREADY
+    wide-layout chunk-major inputs (`_chunk_layout_wide` format): the
+    wide collect sweep + wide back-substitution kernels, with the
+    C-sized reduced boundary system solved recursively on the plain
+    path.  Forward-only entry (the differentiable route is the
+    natural-layout `_solve_wide`)."""
+    from cyclic_gps_tpu.ops import pallas_wide as pw
+    from cyclic_gps_tpu.ops import wideblock as wb
+
+    s = r11.shape[0]
+    c = r11.shape[-1]
+    (acc11, accst, accy0, w011, w0st, wl, d11, dst, invd, mh, ld,
+     hc11, hcst, hw011, hw0st, hws) = pw.forward_sweep_collect_wide_pallas(
+        r11, rst, o11, ost, y_cm, jitter=jitter)
+    i1 = invd[:8][:, None, :]
+    i2 = invd[8:][:, None, :]
+    Dw = (d11, dst, i1, i2)
+    # right coupling W1 = D^{-1} O_{s-1}^T and its hat, in wide form
+    ot11, otst = wb.wtranspose(o11[s - 1], ost[s - 1])
+    w1_11, w1_st = wb.wsolve_lower(*Dw, ot11, otst)
+    hw1_11, hw1_st = wb.wsolve_lower_t(*Dw, w1_11, w1_st)
+    # C-sized conversions for the reduced boundary system (plain layout)
+    state = _SweepState(
+        None, wb.from_wide(w011, w0st), wl, wb.from_wide(d11, dst),
+        invd, wb.from_wide(acc11, accst), accy0, mh, ld,
+    )
+    w1 = wb.from_wide(w1_11, w1_st)
+    r0 = wb.from_wide(r11[0], rst[0])
+    red_diag, red_off, red_rhs = _reduced_system(
+        r0[None], y_cm[:1], state, w1
+    )
+    x_b, red_ld = _solve_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs), None, jitter,
+    )  # [C, d]
+    xb = sb.vec_to_em(x_b)  # [d, C] own-chunk boundary
+    xb_next = sb.shift_up(xb)  # next chunk's boundary (0 for last)
+    interior = pw.backward_substitute_wide_pallas(
+        hc11, hcst, hw011, hw0st, hws, hw1_11, hw1_st, xb, xb_next,
+    )  # [s-1, d, C], steps j = 1..s-1
+    x_cm = jnp.concatenate([xb[None], interior], axis=0)
+    x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, r11.shape[1] + rst.shape[1] // 3)
+    return x_nat, 2.0 * state.ld + red_ld
+
+
+def _solve_wide_primal(diag, off, y, s, jitter):
+    r11, rst, o11, ost, y_cm, _ = _chunk_layout_wide(diag, off, y, s)
+    return solve_and_logdet_wide(r11, rst, o11, ost, y_cm, jitter)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _solve_wide(diag, off, y, s, jitter):
+    x_pad, ld = _solve_wide_primal(diag, off, y, s, jitter)
+    return x_pad[: diag.shape[0]], ld
+
+
+def _solve_wide_fwd(diag, off, y, s, jitter):
+    x_pad, ld = _solve_wide_primal(diag, off, y, s, jitter)
+    x = x_pad[: diag.shape[0]]
+    return (x, ld), (diag, off, y, x)
+
+
+def _solve_wide_bwd(s, jitter, res, cots):
+    """Same analytic adjoint as `_solve_cm_bwd`, natural layout; the
+    extra solve reuses the wide kernels on TPU."""
+    diag, off, y, x = res
+    gx, gl = cots
+    n, d, _ = diag.shape
+    backend = resolve_backend("auto")
+    if backend == "pallas":
+        u, _ = _solve_wide_primal(diag, off, gx, s, jitter)
+        u = u[:n]
+    else:
+        u, _ = _solve_impl(diag, off, gx, None, jitter)
+    sig_diag, sig_off = inverse_blocks(diag, off, jitter=jitter,
+                                       backend=backend)
+    g_diag = gl * sig_diag - u[:, :, None] * x[:, None, :]
+    g_off = (
+        2.0 * gl * sig_off
+        - u[1:, :, None] * x[:-1, None, :]
+        - x[1:, :, None] * u[:-1, None, :]
+    )
+    g_y = u
+    return g_diag, g_off, g_y
+
+
+_solve_wide.defvjp(_solve_wide_fwd, _solve_wide_bwd)
 
 
 @partial(jax.jit, static_argnames=("s", "jitter"))
@@ -695,6 +793,9 @@ def solve_and_logdet(
     if n < max(_TERMINAL, 2 * s):
         decomp = cr.decompose(diag, off, jitter=jitter)
         return cr.solve(decomp, y), cr.logdet(decomp)
+    if 8 < d < 16 and resolve_backend(backend) == "pallas":
+        # wide-layout kernels (see mahal_and_logdet); analytic VJP
+        return _solve_wide(diag, off, y, s, jitter)
     R_cm, O_cm, y_cm, _ = _chunk_layout(diag, off, y, s)
     x_pad, ld = solve_cm(R_cm, O_cm, y_cm, jitter, backend)
     return x_pad[:n], ld

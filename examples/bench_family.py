@@ -120,26 +120,38 @@ def main():
                 return jax.lax.fori_loop(0, K, body,
                                          jnp.zeros((), y.dtype))
 
-            def run_wide(c):
-                return float(wide_loop(r11, rst, o11, ost, y_cmw, c))
+            @jax.jit
+            def wide_solve_loop(r11, rst, o11, ost, y, c):
+                def body(i, acc):
+                    x, ld = pt.solve_and_logdet_wide(
+                        r11, rst, o11, ost,
+                        y * (c + 1e-9 * i.astype(y.dtype)))
+                    return acc + jnp.ravel(x)[0] + ld
+                return jax.lax.fori_loop(0, K, body,
+                                         jnp.zeros((), y.dtype))
 
-            try:
-                run_wide(1.0)
-                times = []
-                for i in range(5):
-                    t0 = time.time()
-                    run_wide(1.0 + i * 1e-6)
-                    times.append((time.time() - t0) / K)
-                ms = float(np.median(times) * 1e3)
-            except Exception as e:  # noqa: BLE001 - report and continue
-                print(json.dumps({
-                    "metric": f"mahal_logdet_wide_n1e6_d{d}",
-                    "error": str(e)[:120]}), flush=True)
-            else:
-                print(json.dumps({
-                    "metric": f"mahal_logdet_wide_n1e6_d{d}",
-                    "value": round(ms, 3), "unit": "ms",
-                    "backend": "pallas-wide"}), flush=True)
+            for wname, wloop in (("mahal_logdet_wide", wide_loop),
+                                 ("solve_logdet_wide", wide_solve_loop)):
+                def run_wide(c, _l=wloop):
+                    return float(_l(r11, rst, o11, ost, y_cmw, c))
+
+                try:
+                    run_wide(1.0)
+                    times = []
+                    for i in range(5):
+                        t0 = time.time()
+                        run_wide(1.0 + i * 1e-6)
+                        times.append((time.time() - t0) / K)
+                    ms = float(np.median(times) * 1e3)
+                except Exception as e:  # noqa: BLE001 - report and continue
+                    print(json.dumps({
+                        "metric": f"{wname}_n1e6_d{d}",
+                        "error": str(e)[:120]}), flush=True)
+                else:
+                    print(json.dumps({
+                        "metric": f"{wname}_n1e6_d{d}",
+                        "value": round(ms, 3), "unit": "ms",
+                        "backend": "pallas-wide"}), flush=True)
         if "--natural" in sys.argv or d == 5:
             # the library-API entry: natural [N, d, d] inputs, relayout
             # included (VERDICT r2 #6)

@@ -133,6 +133,60 @@ def test_wide_mahal_matches_xla(d, n, jitter):
     np.testing.assert_allclose(float(ld_w), float(ld_x), rtol=2e-5)
 
 
+@pytest.mark.parametrize("d,n,jitter", [
+    (9, 96, 0.0),     # clean chunking
+    (12, 90, 1e-3),   # chunk-pad tail + jitter path
+])
+def test_wide_solve_matches_xla(d, n, jitter):
+    """The wide-layout collect + back-substitution kernel pair
+    (interpret mode in CI) == the plain partitioned solve."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cyclic_gps_tpu.ops import partitioned as pt
+
+    diag, off, y = _nat_system(n, d, seed=d + 20)
+    x_ref, ld_ref = pt.solve_and_logdet(diag, off, y, s=8, jitter=jitter,
+                                        backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        x_w, ld_w = pt._solve_wide(diag, off, y, 8, jitter)
+    np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(ld_w), float(ld_ref), rtol=2e-5)
+
+
+def test_wide_solve_gradient():
+    """The wide solve's analytic VJP == autodiff through the XLA engine
+    (diag-block cotangents in the symmetric convention)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cyclic_gps_tpu.ops import partitioned as pt
+
+    d, n = 9, 96
+    diag, off, y = _nat_system(n, d, seed=7, dtype=jnp.float64)
+    w = jnp.asarray(np.random.RandomState(11).randn(n, d))
+
+    def loss_w(diag, off, y):
+        x, ld = pt._solve_wide(diag, off, y, 8, 0.0)
+        return jnp.sum(w * x) + 0.7 * ld
+
+    def loss_x(diag, off, y):
+        # raw scan-engine recursion (no custom VJP): the autodiff oracle
+        x, ld = pt._solve_impl(diag, off, y, 8, 0.0)
+        return jnp.sum(w * x) + 0.7 * ld
+
+    with pltpu.force_tpu_interpret_mode():
+        g_w = jax.grad(loss_w, argnums=(0, 1, 2))(diag, off, y)
+    g_x = jax.grad(loss_x, argnums=(0, 1, 2))(diag, off, y)
+    sym_w = 0.5 * (g_w[0] + jnp.swapaxes(g_w[0], 1, 2))
+    sym_x = 0.5 * (g_x[0] + jnp.swapaxes(g_x[0], 1, 2))
+    np.testing.assert_allclose(np.asarray(sym_w), np.asarray(sym_x),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_w[1]), np.asarray(g_x[1]),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_w[2]), np.asarray(g_x[2]),
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_wide_mahal_gradient():
     """The wide path's analytic VJP == autodiff through the XLA engine
     (diag-block cotangents in the symmetric convention)."""
