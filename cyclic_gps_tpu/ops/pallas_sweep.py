@@ -615,7 +615,13 @@ def takahashi_backward_pallas(ds, invds, cs, w0s,
     (diag rows [s-2, d, d, cpad], off rows [s-2, d, d, cpad],
     u0_final, u1_final [d, d, cpad])."""
     sm1, d, _, cpad = ds.shape
-    ct = min(_ct_for(d), cpad)
+    # This kernel holds ~26 [d, d, ct] VMEM buffers (13 fixed inputs +
+    # double-buffered step blocks + 5 scratches) -- nearly twice the
+    # sweep kernels' footprint, so the shared _ct_for tile overflows the
+    # 16 MB scoped-vmem limit at d >= 10 (measured: d = 10, ct = 512
+    # needs 16.42 MB).  Halve it; cpad stays a multiple (the stacks are
+    # padded to the _ct_for grain, and any divisor tiles them exactly).
+    ct = min(_ct_for(d) if d <= 9 else _ct_for(d) // 2, cpad)
     nct = cpad // ct
     s3 = sm1 - 2  # grid step j reads stacked row (s3 - j): s-3 .. 0
     step = pl.BlockSpec((1, d, d, ct), lambda t, j: (s3 - j, 0, 0, t),

@@ -547,3 +547,313 @@ def backward_substitute_wide_pallas(hc11, hcst, hw011, hw0st, hw,
     )(hc11, hcst, hw011, hw0st, hw,
       hw111, hw1st, xb[:, None, :], xb_next[:, None, :])
     return outs[:, :, 0, :c]
+
+
+# ---------------------------------------------------------------------------
+# Selected inversion, wide: forward raw-factor sweep + Takahashi backward
+# (twin of pallas_sweep's forward_sweep_inverse / takahashi pair).
+# ---------------------------------------------------------------------------
+
+
+def _wide_inverse_collect_kernel(jit_ref, r11_ref, rst_ref, o11_ref,
+                                 ost_ref, o011_ref, o0st_ref,
+                                 acc11_ref, accst_ref, w011l_ref, w0stl_ref,
+                                 d11l_ref, dstl_ref, invdl_ref,
+                                 d11_ref, dst_ref, invd_ref,
+                                 c11_ref, cst_ref, w011_ref, w0st_ref,
+                                 cp11_s, cpst_s, w011_s, w0st_s,
+                                 acc11_s, accst_s):
+    """Wide forward elimination streaming the RAW per-step factors
+    (D, invd, C, W0) needed by the Takahashi recursion (no RHS)."""
+    j = pl.program_id(1)
+    e = rst_ref.shape[1] // 3
+    dtype = r11_ref.dtype
+
+    eye8 = r11_ref[0] * 0.0 + jnp.eye(8, dtype=dtype)[:, :, None]
+    rows_e = jax.lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    eye_e = rst_ref[0, :e] * 0.0 + (rows_e == cols8).astype(dtype)
+    jit = jit_ref[0, 0]
+    r11 = r11_ref[0] + jit * eye8
+    rst = rst_ref[0] + jit * jnp.concatenate(
+        [eye_e * 0.0, eye_e * 0.0, eye_e], axis=0
+    )
+    o11 = o11_ref[0]
+    ost = ost_ref[0]
+
+    def emit(D, w011, w0st, c11, cst):
+        cp11_s[:] = c11
+        cpst_s[:] = cst
+        w011_s[:] = w011
+        w0st_s[:] = w0st
+        d11l_ref[:] = D[0]
+        dstl_ref[:] = D[1]
+        invdl_ref[:] = jnp.concatenate([D[2], D[3]], axis=0)
+        d11_ref[0] = D[0]
+        dst_ref[0] = D[1]
+        invd_ref[0] = jnp.concatenate([D[2], D[3]], axis=0)
+        c11_ref[0] = c11
+        cst_ref[0] = cst
+        w011_ref[0] = w011
+        w0st_ref[0] = w0st
+
+    def cprev_from(D, o11_, ost_):
+        ot11, otst = wb.wtranspose(o11_, ost_)
+        x11, xst = wb.wsolve_lower(*D, ot11, otst)
+        return wb.wtranspose(x11, xst)
+
+    @pl.when(j == 0)
+    def _():
+        L11, Lst, i1, i2, _ = wb.wchol(r11, rst)
+        D = (L11, Lst, i1, i2)
+        w011, w0st = wb.wsolve_lower(*D, o011_ref[0], o0st_ref[0])
+        c11, cst = cprev_from(D, o11, ost)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = a11
+        accst_s[:] = ast
+        emit(D, w011, w0st, c11, cst)
+
+    @pl.when(j > 0)
+    def _():
+        cp11, cpst = cp11_s[:], cpst_s[:]
+        s11, sst = wb.wmm_nt(cp11, cpst, cp11, cpst)
+        p11, pst = r11 - s11, rst - sst
+        L11, Lst, i1, i2, _ = wb.wchol(p11, pst)
+        D = (L11, Lst, i1, i2)
+        m11, mst = wb.wmm(cp11, cpst, w011_s[:], w0st_s[:])
+        w011, w0st = wb.wsolve_lower(*D, m11, mst)
+        w011, w0st = -w011, -w0st
+        c11, cst = cprev_from(D, o11, ost)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = acc11_s[:] + a11
+        accst_s[:] = accst_s[:] + ast
+        emit(D, w011, w0st, c11, cst)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc11_ref[:] = acc11_s[:]
+        accst_ref[:] = accst_s[:]
+        w011l_ref[:] = w011_s[:]
+        w0stl_ref[:] = w0st_s[:]
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_inverse_wide_pallas(R11: Array, Rst: Array, O11: Array,
+                                      Ost: Array, jitter: float = 0.0):
+    """Wide forward sweep for the selected-inversion path: returns
+    (acc11, accst, w011l, w0stl, d11l, dstl, invdl -- sliced to the true
+    C -- and the per-step stacks d11s, dsts, invds, c11s, csts, w011s,
+    w0sts, kernel-tile padded)."""
+    s = R11.shape[0]
+    e = Rst.shape[1] // 3
+    d = 8 + e
+    ct = _ct_for(d)
+    y_dummy = jnp.zeros((s, d, R11.shape[-1]), dtype=R11.dtype)
+    R11, Rst, O11, Ost, _, c = _pad_chunks_wide(
+        R11, Rst, O11, Ost, y_dummy, ct)
+    cpad = R11.shape[-1]
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R11.dtype)
+
+    def b11(idx):
+        return pl.BlockSpec((1, 8, 8, ct), idx, memory_space=pltpu.VMEM)
+
+    def bst(idx):
+        return pl.BlockSpec((1, 3 * e, 8, ct), idx,
+                            memory_space=pltpu.VMEM)
+
+    step = lambda t, j: (j + 1, 0, 0, t)  # noqa: E731
+    first = lambda t, j: (0, 0, 0, t)  # noqa: E731
+    hat = lambda t, j: (j, 0, 0, t)  # noqa: E731
+    out11 = pl.BlockSpec((8, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outst = pl.BlockSpec((3 * e, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                        memory_space=pltpu.VMEM)
+    m11 = jax.ShapeDtypeStruct((8, 8, cpad), R11.dtype)
+    mst = jax.ShapeDtypeStruct((3 * e, 8, cpad), R11.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R11.dtype)
+    s11 = jax.ShapeDtypeStruct((s - 1, 8, 8, cpad), R11.dtype)
+    sst = jax.ShapeDtypeStruct((s - 1, 3 * e, 8, cpad), R11.dtype)
+    svec = jax.ShapeDtypeStruct((s - 1, d, 1, cpad), R11.dtype)
+
+    outs = pl.pallas_call(
+        _wide_inverse_collect_kernel,
+        grid=(nct, s - 1),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            b11(step), bst(step), b11(step), bst(step),
+            b11(first), bst(first),
+        ],
+        out_specs=[out11, outst, out11, outst, out11, outst, outv,
+                   b11(hat), bst(hat),
+                   pl.BlockSpec((1, d, 1, ct), hat,
+                                memory_space=pltpu.VMEM),
+                   b11(hat), bst(hat), b11(hat), bst(hat)],
+        out_shape=[m11, mst, m11, mst, m11, mst, vec,
+                   s11, sst, svec, s11, sst, s11, sst],
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+        ],
+    )(jit_arr, R11, Rst, O11, Ost, O11, Ost)
+    (acc11, accst, w011l, w0stl, d11l, dstl, invdl,
+     d11s, dsts, invds, c11s, csts, w011s, w0sts) = outs
+
+    def cut(x):
+        return x[..., :c]
+
+    return (cut(acc11), cut(accst), cut(w011l), cut(w0stl),
+            cut(d11l), cut(dstl), cut(invdl)[:, 0, :],
+            d11s, dsts, invds, c11s, csts, w011s, w0sts)
+
+
+def _wide_takahashi_kernel(d11_ref, dst_ref, invd_ref, c11_ref, cst_ref,
+                           w011_ref, w0st_ref,
+                           p0011_ref, p00st_ref, p0111_ref, p01st_ref,
+                           p1011_ref, p10st_ref, p1111_ref, p11st_ref,
+                           phi11_ref, phist_ref, u011_ref, u0st_ref,
+                           u111_ref, u1st_ref, a011_ref, a0st_ref,
+                           a111_ref, a1st_ref,
+                           diag11_ref, diagst_ref, off11_ref, offst_ref,
+                           u0f11_ref, u0fst_ref, u1f11_ref, u1fst_ref,
+                           phi11_s, phist_s, u011_s, u0st_s,
+                           u111_s, u1st_s, a011_s, a0st_s, a111_s, a1st_s):
+    """One wide Takahashi step on a chunk tile (grid walks steps
+    DESCENDING; same recurrence as pallas_sweep._takahashi_kernel)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        phi11_s[:] = phi11_ref[:]
+        phist_s[:] = phist_ref[:]
+        u011_s[:] = u011_ref[:]
+        u0st_s[:] = u0st_ref[:]
+        u111_s[:] = u111_ref[:]
+        u1st_s[:] = u1st_ref[:]
+        a011_s[:] = a011_ref[:]
+        a0st_s[:] = a0st_ref[:]
+        a111_s[:] = a111_ref[:]
+        a1st_s[:] = a1st_ref[:]
+
+    e = dst_ref.shape[1] // 3
+    dtype = d11_ref.dtype
+    d11 = d11_ref[0]
+    dst = dst_ref[0]
+    invd = invd_ref[0]
+    i1, i2 = invd[:8], invd[8:]
+    D = (d11, dst, i1, i2)
+    c11, cst = c11_ref[0], cst_ref[0]
+    w011, w0st = w011_ref[0], w0st_ref[0]
+    pn = (phi11_s[:], phist_s[:])
+    u0n = (u011_s[:], u0st_s[:])
+    u1n = (u111_s[:], u1st_s[:])
+
+    # identity RHS anchored to kernel data (Mosaic constant-fold gotcha)
+    eye11 = d11 * 0.0 + jnp.eye(8, dtype=dtype)[:, :, None]
+    rows_e = jax.lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    eye_e = dst[:e] * 0.0 + (rows_e == cols8).astype(dtype)
+    eyest = jnp.concatenate([eye_e * 0.0, eye_e * 0.0, eye_e], axis=0)
+    di = wb.wsolve_lower(*D, eye11, eyest)
+    cd = wb.wmm(c11, cst, *di)
+    po11, post = wb.wmm(*pn, *cd)
+    po11, post = -po11, -post                       # Phi_{j+1, j}
+    t11, tst = wb.wmm_tn(*cd, *pn)
+    q11, qst = wb.wmm(t11, tst, *cd)
+    g11, gst = wb.wmm_tn(*di, *di)
+    phi11, phist = g11 + q11, gst + qst
+    m11, mst = wb.wmm_tn(c11, cst, *u0n)
+    u0_11, u0_st = wb.wsolve_lower_t(*D, w011 - m11, w0st - mst)
+    m11, mst = wb.wmm_tn(c11, cst, *u1n)
+    u1_11, u1_st = wb.wsolve_lower_t(*D, m11, mst)
+    u1_11, u1_st = -u1_11, -u1_st
+    x11, xst = wb.wmm_nt(p0011_ref[:], p00st_ref[:], u0_11, u0_st)
+    y11, yst = wb.wmm_nt(p0111_ref[:], p01st_ref[:], u1_11, u1_st)
+    a0_11, a0_st = x11 + y11, xst + yst
+    x11, xst = wb.wmm_nt(p1011_ref[:], p10st_ref[:], u0_11, u0_st)
+    y11, yst = wb.wmm_nt(p1111_ref[:], p11st_ref[:], u1_11, u1_st)
+    a1_11, a1_st = x11 + y11, xst + yst
+    x11, xst = wb.wmm(u0_11, u0_st, a0_11, a0_st)
+    y11, yst = wb.wmm(u1_11, u1_st, a1_11, a1_st)
+    diag11_ref[0] = phi11 + x11 + y11
+    diagst_ref[0] = phist + xst + yst
+    x11, xst = wb.wmm(*u0n, a0_11, a0_st)
+    y11, yst = wb.wmm(*u1n, a1_11, a1_st)
+    off11_ref[0] = po11 + x11 + y11
+    offst_ref[0] = post + xst + yst
+
+    phi11_s[:] = phi11
+    phist_s[:] = phist
+    u011_s[:] = u0_11
+    u0st_s[:] = u0_st
+    u111_s[:] = u1_11
+    u1st_s[:] = u1_st
+    a011_s[:] = a0_11
+    a0st_s[:] = a0_st
+    a111_s[:] = a1_11
+    a1st_s[:] = a1_st
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        u0f11_ref[:] = u011_s[:]
+        u0fst_ref[:] = u0st_s[:]
+        u1f11_ref[:] = u111_s[:]
+        u1fst_ref[:] = u1st_s[:]
+
+
+@jax.jit
+def takahashi_backward_wide_pallas(d11s, dsts, invds, c11s, csts,
+                                   w011s, w0sts, wides):
+    """Wide Takahashi recursion over interior steps j = s-2 .. 1.
+
+    Stacks as produced by `forward_sweep_inverse_wide_pallas`
+    (kernel-tile padded, rows 0..s-3 consumed descending).  ``wides`` is
+    a tuple of 12 wide pairs padded to the same width:
+    (p00, p01, p10, p11, phi0, u00, u10, a00, a10) -- the first nine as
+    (a11, ast) pairs -- packed flat as 18 arrays.  Returns
+    (diag11 [s-2, 8, 8, cpad], diagst, off11, offst, u0f pair, u1f pair).
+    """
+    sm1 = d11s.shape[0]
+    e = dsts.shape[1] // 3
+    d = 8 + e
+    cpad = d11s.shape[-1]
+    ct = min(_ct_for(d), cpad)
+    nct = cpad // ct
+    s3 = sm1 - 2  # grid step j reads stacked row (s3 - j): s-3 .. 0
+    desc11 = pl.BlockSpec((1, 8, 8, ct), lambda t, j: (s3 - j, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+    descst = pl.BlockSpec((1, 3 * e, 8, ct),
+                          lambda t, j: (s3 - j, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+    descv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (s3 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fix11 = pl.BlockSpec((8, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fixst = pl.BlockSpec((3 * e, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    s11 = jax.ShapeDtypeStruct((sm1 - 1, 8, 8, cpad), d11s.dtype)
+    sst = jax.ShapeDtypeStruct((sm1 - 1, 3 * e, 8, cpad), d11s.dtype)
+    m11 = jax.ShapeDtypeStruct((8, 8, cpad), d11s.dtype)
+    mst = jax.ShapeDtypeStruct((3 * e, 8, cpad), d11s.dtype)
+    fixed_specs = [fix11, fixst] * 9
+    outs = pl.pallas_call(
+        _wide_takahashi_kernel,
+        grid=(nct, sm1 - 1),
+        in_specs=[desc11, descst, descv, desc11, descst, desc11, descst]
+        + fixed_specs,
+        out_specs=[desc11, descst, desc11, descst,
+                   fix11, fixst, fix11, fixst],
+        out_shape=[s11, sst, s11, sst, m11, mst, m11, mst],
+        scratch_shapes=(
+            [pltpu.VMEM((8, 8, ct), d11s.dtype),
+             pltpu.VMEM((3 * e, 8, ct), d11s.dtype)] * 5
+        ),
+    )(d11s, dsts, invds, c11s, csts, w011s, w0sts, *wides)
+    return outs

@@ -604,6 +604,97 @@ def _solve_wide_bwd(s, jitter, res, cots):
 _solve_wide.defvjp(_solve_wide_fwd, _solve_wide_bwd)
 
 
+def _inverse_wide(diag, off, s, jitter):
+    """Selected inversion for 8 < d < 16 on the wide kernels (raw-factor
+    collect sweep + wide Takahashi recursion); same recurrence as
+    `_inverse_from_cm_pallas` with all per-step algebra 8-aligned."""
+    from cyclic_gps_tpu.ops import pallas_wide as pw
+    from cyclic_gps_tpu.ops import wideblock as wb
+
+    n, d, _ = diag.shape
+    zeros_y = jnp.zeros((n, d), dtype=diag.dtype)
+    r11, rst, o11, ost, _, c = _chunk_layout_wide(diag, off, zeros_y, s)
+    s_ = r11.shape[0]
+    (acc11, accst, w011l, w0stl, d11l, dstl, invdl,
+     d11s, dsts, invds, c11s, csts, w011s,
+     w0sts) = pw.forward_sweep_inverse_wide_pallas(r11, rst, o11, ost,
+                                                   jitter=jitter)
+    cpad = d11s.shape[-1]
+    # C-sized plain conversions: reduced system + Takahashi seeds
+    dl = wb.from_wide(d11l, dstl)
+    w0l = wb.from_wide(w011l, w0stl)
+    acc00 = wb.from_wide(acc11, accst)
+    o_last = wb.from_wide(o11[s_ - 1], ost[s_ - 1])
+    w1 = sb.solve_lower(dl, invdl, sb.transpose(o_last))
+    s11m = sb.matmul(w1, w1, ta=True)
+    r0 = wb.from_wide(r11[0], rst[0])
+    red_diag = r0 - acc00 - sb.shift_down(s11m)
+    red_off = -sb.matmul(w1, w0l, ta=True)
+    bb_diag, bb_off = _inverse_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1], None, jitter
+    )
+    p00 = sb.to_em(bb_diag)
+    p10 = jnp.concatenate(
+        [sb.to_em(bb_off), jnp.zeros((d, d, 1), dtype=diag.dtype)], axis=-1
+    )
+    p11 = sb.shift_up(p00)
+    p01 = sb.transpose(p10)
+
+    def sigma_bb_ut(u0, u1):
+        a0 = sb.matmul(p00, u0, tb=True) + sb.matmul(p01, u1, tb=True)
+        a1 = sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+        return a0, a1
+
+    di_last = sb.tri_lower_inverse(dl, invdl)
+    phi = sb.matmul(di_last, di_last, ta=True)
+    u0 = sb.solve_lower_t(dl, invdl, w0l)
+    u1 = sb.solve_lower_t(dl, invdl, w1)
+    a0, a1 = sigma_bb_ut(u0, u1)
+    diag_last = phi + sb.matmul(u0, a0) + sb.matmul(u1, a1)
+    off_edge_right = -(
+        sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+    )
+
+    def pad_eye(a):
+        if cpad == c:
+            return a
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=a.dtype)[:, :, None], (d, d, cpad - c)
+        )
+        return jnp.concatenate([a, eye], axis=-1)
+
+    def pad_zero(a):
+        if cpad == c:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((d, d, cpad - c), dtype=a.dtype)], axis=-1
+        )
+
+    wides = []
+    for a, eye in ((p00, True), (p01, False), (p10, False), (p11, True),
+                   (phi, True), (u0, False), (u1, False),
+                   (a0, False), (a1, False)):
+        wides.extend(wb.to_wide(pad_eye(a) if eye else pad_zero(a)))
+    (diag11, diagst, off11, offst, u0f11, u0fst, u1f11,
+     u1fst) = pw.takahashi_backward_wide_pallas(
+        d11s, dsts, invds, c11s, csts, w011s, w0sts, tuple(wides))
+    fw = jax.vmap(wb.from_wide)
+    diag_mid = fw(diag11[..., :c], diagst[..., :c])
+    off_mid = fw(off11[..., :c], offst[..., :c])
+    u0f = wb.from_wide(u0f11[..., :c], u0fst[..., :c])
+    u1f = wb.from_wide(u1f11[..., :c], u1fst[..., :c])
+
+    diag_int = jnp.concatenate([diag_mid, diag_last[None]], axis=0)
+    off_edge_left = -(sb.matmul(u0f, p00) + sb.matmul(u1f, p10))
+    diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
+    off_cm = jnp.concatenate(
+        [off_edge_left[None], off_mid, off_edge_right[None]], axis=0
+    )
+    diag_nat = jnp.transpose(diag_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    off_nat = jnp.transpose(off_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    return diag_nat[:n], off_nat[: n - 1]
+
+
 @partial(jax.jit, static_argnames=("s", "jitter"))
 def logdet(
     diag: Array, off: Array, s: Optional[int] = None, jitter: float = 0.0
@@ -1039,6 +1130,14 @@ def inverse_blocks(
     if n < max(_TERMINAL, 2 * s):
         dec = cr.decompose(diag, off, jitter=jitter)
         return cr.inverse_blocks(dec)
+    if 8 < d < 11 and s >= 3 and resolve_backend(backend) == "pallas":
+        # wide-layout kernels.  Unlike the sweeps (DMA-bound, wide wins
+        # ~1.3-1.5x for all 8 < d < 16), the Takahashi recursion is
+        # compute-bound: wide's blocked panels win at d = 9 (60.6 vs
+        # 66.9 ms at N = 1e6), tie at d = 10, and LOSE at d >= 12
+        # (90.7 vs 81.2 at d = 12) -- the strip algebra's extra column
+        # passes outweigh the 8-alignment once e = d - 8 grows.
+        return _inverse_wide(diag, off, s, jitter)
     R_cm, O_cm, _, _ = _chunk_layout(diag, off, None, s)
     diag_nat, off_nat = _inverse_from_cm(R_cm, O_cm, jitter,
                                          resolve_backend(backend))

@@ -219,3 +219,26 @@ def test_wide_mahal_gradient():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(g_w[2]), np.asarray(g_x[2]),
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("d,n,jitter", [
+    (9, 96, 0.0),     # clean chunking
+    (12, 90, 1e-3),   # chunk-pad tail + jitter path
+])
+def test_wide_inverse_matches_xla(d, n, jitter):
+    """The wide-layout selected inversion (raw-collect sweep + wide
+    Takahashi kernels, interpret mode in CI) == the plain partitioned
+    selected inversion."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cyclic_gps_tpu.ops import partitioned as pt
+
+    diag, off, _ = _nat_system(n, d, seed=d + 40)
+    sd_x, so_x = pt.inverse_blocks(diag, off, s=8, jitter=jitter,
+                                   backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        sd_w, so_w = pt._inverse_wide(diag, off, 8, jitter)
+    np.testing.assert_allclose(np.asarray(sd_w), np.asarray(sd_x),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(so_w), np.asarray(so_x),
+                               rtol=2e-4, atol=2e-6)
