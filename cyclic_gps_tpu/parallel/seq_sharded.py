@@ -58,6 +58,13 @@ def _cached_shard_fn(builder, mesh: Mesh, axis: str, *extra):
     return builder(mesh, axis, *extra)
 
 
+# Per-level chunk length for the shard-local partitioned sweeps.
+# Tests monkeypatch this down (e.g. to 8) so interpret-mode Pallas runs
+# keep the kernel grid small; keep in sync with ops/partitioned's
+# default_chunk_len scale for production.
+_LEVEL_CHUNK = 128
+
+
 def _halo_shifts(axis: str):
     """Halo-exchange versions of the one-block shifts: local shift plus a
     single-block ppermute at the shard boundary."""
@@ -95,7 +102,7 @@ def _halo_shifts(axis: str):
 
 
 def _partitioned_fused_local(R, O, yt, axis: str, jitter: float,
-                             parts: bool = False):
+                             parts: bool = False, backend: str = "xla"):
     """Shard-local fused (mahal, logdet) via the PARTITIONED engine.
 
     R, O: [d, d, m] local element-major blocks (m = N/P, a power of two;
@@ -111,6 +118,15 @@ def _partitioned_fused_local(R, O, yt, axis: str, jitter: float,
     (a few KB) and finish replicated.  This replaces the round-1 CR-based
     `_fused_local` on the hot path: same collectives pattern, ~15x less
     work per level (one streaming pass instead of log2(m) halving levels).
+
+    ``backend="pallas"`` runs the LARGE first level's forward sweep as
+    the fused Pallas kernel (ops/pallas_sweep.forward_sweep_pallas) on
+    each shard -- the same kernel/XLA split as the single-chip entry
+    (`pt._mahal_cm_primal`): kernel on the streaming level, scans on the
+    small tails.  shard_map's manual partitioning is what makes this
+    safe (each device owns its block outright); GSPMD auto-sharding over
+    the kernel remains excluded (`pt.resolve_backend`).  CI covers it
+    via interpret mode (tests/test_parallel.py); default stays "xla".
     """
     d = R.shape[0]
     psize = jax.lax.axis_size(axis)
@@ -119,8 +135,11 @@ def _partitioned_fused_local(R, O, yt, axis: str, jitter: float,
     ld = jnp.zeros((), R.dtype)
     while psize * R.shape[-1] > max(256, 4 * psize):
         m = R.shape[-1]
-        s = min(128, m // 2)
-        while s > 1 and m % s:  # largest divisor <= 128 (trivial for 2^k)
+        # _LEVEL_CHUNK is a module constant so interpret-mode CI can
+        # shrink the kernel grid (128 steps/level is hours in the Python
+        # interpreter); production value matches ops/partitioned.
+        s = min(_LEVEL_CHUNK, m // 2)
+        while s > 1 and m % s:  # largest divisor <= s (trivial for 2^k)
             s -= 1
         if s < 2:
             break  # no usable chunking; gather whatever remains
@@ -129,7 +148,17 @@ def _partitioned_fused_local(R, O, yt, axis: str, jitter: float,
         R_cm = jnp.transpose(R.reshape(d, d, c_loc, s), (3, 0, 1, 2))
         O_cm = jnp.transpose(O.reshape(d, d, c_loc, s), (3, 0, 1, 2))
         y_cm = jnp.transpose(yt.reshape(d, c_loc, s), (2, 0, 1))
-        state, w1, _ = pt._forward_sweep(R_cm, O_cm, y_cm, jitter, None)
+        if backend == "pallas" and s >= 3 and c_loc >= 64:
+            from cyclic_gps_tpu.ops.pallas_sweep import forward_sweep_pallas
+
+            (acc00, accy0, w0l, wl, dl, invdl, mh_k,
+             ld_k) = forward_sweep_pallas(R_cm, O_cm, y_cm, jitter=jitter)
+            state = pt._SweepState(None, w0l, wl, dl, invdl, acc00,
+                                   accy0, mh_k, ld_k)
+            w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+        else:
+            state, w1, _ = pt._forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                             None)
         # reduced boundary system; the (W1^T W1 / W1^T w) terms of the
         # previous chunk cross shard edges via the halo shift_down
         s11 = sb.matmul(w1, w1, ta=True)
@@ -191,6 +220,7 @@ def mahal_and_logdet(
     axis: str = "seq",
     jitter: float = 0.0,
     engine: str = "partitioned",
+    backend: str = "xla",
 ) -> Tuple[Array, Array]:
     """Sequence-sharded fused (y^T J^{-1} y, log|J|).
 
@@ -201,6 +231,12 @@ def mahal_and_logdet(
     ``engine``: "partitioned" (default; one streaming pass per level,
     the hot path) or "cr" (halo-exchange cyclic reduction; log2(m)
     halving levels, kept as the cross-check engine).
+
+    ``backend``: "xla" (default) or "pallas" -- run each shard's large
+    first elimination level as the fused Pallas kernel (multi-chip pods;
+    see `_partitioned_fused_local`).  This rig cannot execute multi-chip
+    TPU programs, so the pallas route is validated by interpret-mode CI
+    parity plus the single-chip kernels' on-device record.
     """
     n, d, _ = diag.shape
     psize = mesh.shape[axis]
@@ -216,16 +252,20 @@ def mahal_and_logdet(
     )
     yt = sb.vec_to_em(y)
 
-    fn = _cached_shard_fn(_build_mahal_fn, mesh, axis, jitter, engine)
+    fn = _cached_shard_fn(_build_mahal_fn, mesh, axis, jitter, engine,
+                          backend)
     return fn(R, O, yt)
 
 
-def _build_mahal_fn(mesh, axis, jitter, engine):
-    local = {"partitioned": _partitioned_fused_local,
-             "cr": _fused_local}[engine]
+def _build_mahal_fn(mesh, axis, jitter, engine, backend):
+    if engine == "partitioned":
+        local = partial(_partitioned_fused_local, axis=axis,
+                        jitter=jitter, backend=backend)
+    else:
+        local = partial(_fused_local, axis=axis, jitter=jitter)
     return jax.jit(
         jax.shard_map(
-            partial(local, axis=axis, jitter=jitter),
+            local,
             mesh=mesh,
             in_specs=(P(None, None, axis), P(None, None, axis), P(None, axis)),
             out_specs=(P(), P()),
@@ -529,16 +569,17 @@ def _check_shard(n: int, mesh: Mesh, axis: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _mahal_parts_diff(R, O, yt, axis, jitter):
-    return _partitioned_fused_local(R, O, yt, axis, jitter, parts=True)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mahal_parts_diff(R, O, yt, axis, jitter, backend="xla"):
+    return _partitioned_fused_local(R, O, yt, axis, jitter, parts=True,
+                                    backend=backend)
 
 
-def _mahal_parts_fwd(R, O, yt, axis, jitter):
-    return _mahal_parts_diff(R, O, yt, axis, jitter), (R, O, yt)
+def _mahal_parts_fwd(R, O, yt, axis, jitter, backend="xla"):
+    return _mahal_parts_diff(R, O, yt, axis, jitter, backend), (R, O, yt)
 
 
-def _mahal_parts_bwd(axis, jitter, res, cots):
+def _mahal_parts_bwd(axis, jitter, backend, res, cots):
     R, O, yt = res
     gm, gl = cots  # replicated: true cotangents of the psummed totals
     shifts = _halo_shifts(axis)
@@ -556,11 +597,11 @@ def _mahal_parts_bwd(axis, jitter, res, cots):
 _mahal_parts_diff.defvjp(_mahal_parts_fwd, _mahal_parts_bwd)
 
 
-def _mahal_local_diff(R, O, yt, axis, jitter):
+def _mahal_local_diff(R, O, yt, axis, jitter, backend="xla"):
     """Shard-local fused (mahal, logdet), replicated outputs, with the
     ANALYTIC backward (one sharded solve + one sharded selected
     inversion)."""
-    mh, ld = _mahal_parts_diff(R, O, yt, axis, jitter)
+    mh, ld = _mahal_parts_diff(R, O, yt, axis, jitter, backend)
     return jax.lax.psum(mh, axis), jax.lax.psum(ld, axis)
 
 
@@ -645,7 +686,8 @@ def _posterior_system_local(params, ts_loc, xs_loc, axis: str):
             llt_mahal, llt_logdet, sig_logdet)
 
 
-def _log_likelihood_local(params, ts_loc, xs_loc, axis: str):
+def _log_likelihood_local(params, ts_loc, xs_loc, axis: str,
+                          backend: str = "xla"):
     (k_diag_em, k_off_em, v_em,
      llt_mahal, llt_logdet, sig_logdet) = _posterior_system_local(
         params, ts_loc, xs_loc, axis
@@ -654,7 +696,7 @@ def _log_likelihood_local(params, ts_loc, xs_loc, axis: str):
     # sharded selected inversion (O(1) residuals) instead of autodiff
     # through every level's scan
     k_mahal, k_logdet = _mahal_local_diff(
-        k_diag_em, k_off_em, v_em, axis, 0.0
+        k_diag_em, k_off_em, v_em, axis, 0.0, backend
     )
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_logdet
@@ -667,6 +709,7 @@ def log_likelihood(
     xs: Array,
     mesh: Mesh,
     axis: str = "seq",
+    backend: str = "xla",
 ) -> Array:
     """Sequence-sharded LEG marginal log-likelihood (exact).
 
@@ -674,17 +717,21 @@ def log_likelihood(
     Differentiable with the ANALYTIC backward (one sharded solve + one
     sharded selected inversion, O(1) stored state) -- gradients match the
     single-device likelihood (tests/test_parallel.py).
+
+    ``backend="pallas"`` runs each shard's large first elimination level
+    as the fused Pallas kernel (multi-chip TPU pods; the backward's
+    sharded solve/inversion stay on the XLA scans).
     """
     n = ts.shape[0]
     _check_shard(n, mesh, axis)
-    fn = _cached_shard_fn(_build_loglik_fn, mesh, axis)
+    fn = _cached_shard_fn(_build_loglik_fn, mesh, axis, backend)
     return fn(params, ts, xs)
 
 
-def _build_loglik_fn(mesh, axis):
+def _build_loglik_fn(mesh, axis, backend="xla"):
     return jax.jit(
         jax.shard_map(
-            partial(_log_likelihood_local, axis=axis),
+            partial(_log_likelihood_local, axis=axis, backend=backend),
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis, None)),
             out_specs=P(),

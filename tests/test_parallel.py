@@ -246,3 +246,62 @@ def test_gspmd_log_likelihood():
     ll_s = float(jax.jit(leg.log_likelihood)(params, ts_s, xs_s))
     ll = float(leg.log_likelihood(params, ts, xs))
     np.testing.assert_allclose(ll_s, ll, rtol=1e-12)
+
+
+def test_seq_sharded_pallas_backend_mahal(monkeypatch):
+    """backend="pallas": each shard's large first elimination level runs
+    the fused Pallas forward-sweep kernel (interpret mode in CI) inside
+    shard_map; exact match to the single-device engine.  _LEVEL_CHUNK is
+    shrunk to 8 so the interpreted kernel grid stays small while still
+    crossing the c_loc >= 64 dispatch gate (n = 2048 -> m = 512 per
+    shard -> s = 8, 64 chunks) and leaving an XLA tail level.
+
+    4-device mesh, NOT the usual 8: interpret-mode pallas_call inside
+    shard_map services its per-partition host callbacks from the CPU
+    client's thread pool, and at 8 concurrent partitions on this 1-core
+    box the run starves/deadlocks (>10 min; 4 devices complete in ~9 s).
+    4 shards still exercise the halo ppermutes, a multi-level reduction
+    and the replicating psum."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(seq_sharded, "_LEVEL_CHUNK", 8)
+    n, d = 2048, 3
+    diag, off, v = _well_conditioned(n, d, seed=5)
+    mesh = seq_sharded.make_seq_mesh(4)
+    with pltpu.force_tpu_interpret_mode():
+        mh_p, ld_p = seq_sharded.mahal_and_logdet(diag, off, v, mesh,
+                                                  backend="pallas")
+    mh, ld = cr.mahal_and_logdet(diag, off, v)
+    np.testing.assert_allclose(float(mh_p), float(mh), rtol=1e-9)
+    np.testing.assert_allclose(float(ld_p), float(ld), rtol=1e-9)
+
+
+def test_seq_sharded_pallas_backend_loglik_grad(monkeypatch):
+    """backend="pallas" likelihood: forward kernel level + the analytic
+    sharded backward (XLA solve + selected inversion).  Value and
+    parameter gradient match the single-device likelihood.  (4-device
+    mesh: see test_seq_sharded_pallas_backend_mahal.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(seq_sharded, "_LEVEL_CHUNK", 8)
+    n, d, rank = 2048, 2, 3
+    ts, xs = generate_data(n, d, dtype=jnp.float64, spacing="irregular",
+                           seed=13)
+    params = leg.init_params(jax.random.key(2), rank=rank, obs_dim=d,
+                             dtype=jnp.float64)
+    mesh = seq_sharded.make_seq_mesh(4)
+
+    def loss_p(p):
+        return -seq_sharded.log_likelihood(p, ts, xs, mesh,
+                                           backend="pallas")
+
+    def loss_ref(p):
+        return -leg.log_likelihood(p, ts, xs)
+
+    with pltpu.force_tpu_interpret_mode():
+        val_p, grad_p = jax.value_and_grad(loss_p)(params)
+    val_r, grad_r = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(val_p), float(val_r), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(grad_p), jax.tree.leaves(grad_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
