@@ -432,10 +432,18 @@ def _gap_terms_dense(g: Array):
     return fn
 
 
-def _chunk_gap_geometry(ts: Array, s: int, n: int, c: int, dtype):
+def _chunk_gap_geometry(ts: Array, s: int, n: int, c: int, dtype,
+                        gap_mask=None):
     """Chunk-major gap geometry: (diffs [s, C], gap_valid [s, C],
     is_real [s, C]).  Natural index i = c*s + j lives at [j, c]; padded
-    gaps are 1 (harmless), the last real gap is masked by gap_valid."""
+    gaps are 1 (harmless), the last real gap is masked by gap_valid.
+
+    ``gap_mask`` (optional, natural [n], 1 = gap i between points i and
+    i+1 is real): extra invalid gaps -- the stacked multi-series entry
+    masks series-boundary gaps here, which zeroes their off-diagonal
+    coupling AND their d_left/d_right precision contributions, making K
+    exactly block-diagonal over the series (each block identical to that
+    series' own K system)."""
     m = c * s
     ts_pad = jnp.concatenate(
         [ts, jnp.zeros((m - n,), dtype=ts.dtype)]
@@ -443,6 +451,11 @@ def _chunk_gap_geometry(ts: Array, s: int, n: int, c: int, dtype):
     idx = (jnp.arange(s)[:, None] + s * jnp.arange(c)[None, :])  # [s, C]
     gap_valid = (idx < n - 1).astype(dtype)
     is_real = (idx < n).astype(dtype)
+    if gap_mask is not None:
+        gm = jnp.concatenate(
+            [gap_mask.astype(dtype), jnp.zeros((m - n,), dtype=dtype)]
+        ).reshape(c, s).T
+        gap_valid = gap_valid * gm
     # next timestamp in natural order: [j+1, c], wrapping to [0, c+1]
     next_row = jnp.concatenate(
         [ts_pad[:1, 1:], jnp.zeros((1, 1), dtype=ts.dtype)], axis=1
@@ -452,15 +465,21 @@ def _chunk_gap_geometry(ts: Array, s: int, n: int, c: int, dtype):
     return diffs, gap_valid, is_real
 
 
-def _k_gap_parts_xla(g_or_gapfn, boost, ts, s, regular, rank, dtype):
-    """(k_cm [s, r, r, C], off_cm, sig_logdet): the gap-dependent part of
-    the chunk-major K system, XLA assembly.  ``g_or_gapfn`` is either a
-    dense generator (dense gap emission) or a gap_fn closure."""
+def _k_gap_parts_xla(g_or_gapfn, boost, ts, s, regular, rank, dtype,
+                     gap_mask=None):
+    """(k_cm [s, r, r, C], off_cm, lq_cm [s, C]): the gap-dependent part
+    of the chunk-major K system, XLA assembly.  ``g_or_gapfn`` is either
+    a dense generator (dense gap emission) or a gap_fn closure.
+    ``gap_mask``: see `_chunk_gap_geometry` (stacked multi-series).
+    lq_cm is the valid-masked PER-GAP log|Q1|: the scalar prior
+    log-determinant is -sum(lq_cm) (Markov factorisation), and the
+    per-series likelihood segment-sums it."""
     gap_fn = (g_or_gapfn if callable(g_or_gapfn)
               else _gap_terms_dense(g_or_gapfn))
     n = ts.shape[0]
     c = -(-n // s)
-    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype)
+    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype,
+                                                    gap_mask)
 
     # off/d_left/d_right from Q1 alone (push-through identity; no second
     # Van Loan exponential for G^T) -- see _q1_terms / _gap_terms_dense
@@ -496,20 +515,26 @@ def _k_gap_parts_xla(g_or_gapfn, boost, ts, s, regular, rank, dtype):
         + boost[None, :, :, None] * is_real[:, None, None, :]
     )
 
-    # log|Sigma^{-1}| = -sum over REAL gaps of log|Q1|
+    # per-gap log|Q1| (valid-masked): log|Sigma^{-1}| = -sum(lq_cm)
+    # (sum(gap_valid) = n - 1 unmasked; with a stacked-series mask each
+    # series counts its own n_b - 1 gaps)
     if regular:
-        sig_logdet = -(n - 1) * logq1[0]
+        lq_cm = gap_valid * logq1[0]
     else:
-        sig_logdet = -jnp.sum(logq1 * gap_valid.reshape(-1))
-    return k_cm, off_cm, sig_logdet
+        lq_cm = logq1.reshape(s, c) * gap_valid
+    return k_cm, off_cm, lq_cm
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _k_gap_parts_pallas(g: Array, boost: Array, ts: Array, s: int):
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _k_gap_parts_pallas(g: Array, boost: Array, ts: Array, gap_mask: Array,
+                        s: int):
     """Fused-kernel version of `_k_gap_parts_xla` (irregular, dense G,
-    TPU f32): ONE Pallas pass emits (k_cm, off_cm) chunk-major with the
-    chunk axis padded to the kernel tile (identity/zero chunks -- exact
-    for the partitioned solver).  Gradients replay the XLA assembly."""
+    TPU f32): ONE Pallas pass emits (k_cm, off_cm, per-gap log|Q1|)
+    chunk-major with the chunk axis padded to the kernel tile
+    (identity/zero chunks -- exact for the partitioned solver).
+    Gradients replay the XLA assembly.  ``gap_mask`` [n] feeds the
+    kernel's existing gap_valid input -- the stacked multi-series path
+    needs no kernel change."""
     from cyclic_gps_tpu.ops.expm_pallas import (k_system_pallas,
                                                 transition_and_noise_pallas)
 
@@ -517,7 +542,8 @@ def _k_gap_parts_pallas(g: Array, boost: Array, ts: Array, s: int):
     dtype = g.dtype
     n = ts.shape[0]
     c = -(-n // s)
-    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype)
+    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype,
+                                                    gap_mask)
 
     # chunk-crossing d_left row (gap c*s - 1 feeds point c*s = row 0 of
     # chunk c): C gaps through the tn kernel + the XLA q1 sweep, then a
@@ -528,32 +554,31 @@ def _k_gap_parts_pallas(g: Array, boost: Array, ts: Array, s: int):
     wrap = jnp.concatenate(
         [jnp.zeros((rank, rank, 1), dtype=dtype), dl_w[:, :, :-1]], axis=-1
     )
-    k_cm, off_cm, logq1_sum = k_system_pallas(
+    k_cm, off_cm, lq_cm = k_system_pallas(
         g, boost, diffs, gap_valid, is_real, wrap
     )
-    # the kernel accumulates +sum log|Q1|; sig_logdet = -sum (Markov
-    # factorisation, matching _k_gap_parts_xla)
-    return k_cm, off_cm, -logq1_sum
+    return k_cm, off_cm, lq_cm
 
 
-def _k_gap_parts_pallas_fwd(g, boost, ts, s):
-    return _k_gap_parts_pallas(g, boost, ts, s), (g, boost, ts)
+def _k_gap_parts_pallas_fwd(g, boost, ts, gap_mask, s):
+    return (_k_gap_parts_pallas(g, boost, ts, gap_mask, s),
+            (g, boost, ts, gap_mask))
 
 
 def _k_gap_parts_pallas_bwd(s, res, cots):
-    g, boost, ts = res
-    gk, goff, gld = cots
+    g, boost, ts, gap_mask = res
+    gk, goff, glq = cots
     n = ts.shape[0]
     c = -(-n // s)
 
-    def xla(g_, boost_, ts_):
+    def xla(g_, boost_, ts_, mask_):
         return _k_gap_parts_xla(g_, boost_, ts_, s, False, g.shape[0],
-                                g.dtype)
+                                g.dtype, gap_mask=mask_)
 
-    _, vjp = jax.vjp(xla, g, boost, ts)
+    _, vjp = jax.vjp(xla, g, boost, ts, gap_mask)
     # the Pallas outputs carry kernel-tile padding chunks whose values
     # are input-independent constants -- their cotangents drop exactly
-    return vjp((gk[..., :c], goff[..., :c], gld))
+    return vjp((gk[..., :c], goff[..., :c], glq[..., :c]))
 
 
 _k_gap_parts_pallas.defvjp(_k_gap_parts_pallas_fwd, _k_gap_parts_pallas_bwd)
@@ -561,7 +586,8 @@ _k_gap_parts_pallas.defvjp(_k_gap_parts_pallas_fwd, _k_gap_parts_pallas_bwd)
 
 @_highest_precision
 def _k_system_chunked(params, ts: Array, xs: Array, s: int,
-                      regular: bool, gap_fn=None):
+                      regular: bool, gap_fn=None, gap_mask=None,
+                      return_sig_rows: bool = False):
     """Posterior-precision system K = Sigma^{-1} + I (x) B^T LLT^{-1} B
     emitted DIRECTLY in the partitioned engine's chunk-major layout
     ([s, r, r, C] / [s, r, C]), plus log|Sigma^{-1}|.
@@ -579,7 +605,11 @@ def _k_system_chunked(params, ts: Array, xs: Array, s: int,
 
     ``params`` needs only .rank/.b/.lambda_params (+ generator params
     when ``gap_fn`` is None); ``gap_fn`` overrides the gap emission
-    (see `_gap_terms_dense`).
+    (see `_gap_terms_dense`); ``gap_mask`` [n] marks extra invalid gaps
+    (stacked multi-series -- see `_chunk_gap_geometry`);
+    ``return_sig_rows=True`` appends the valid-masked per-gap log|Q1|
+    [s, C] (chunk-axis width may exceed C by kernel-tile padding, zeros
+    there) for per-series decompositions.
     """
     rank = params.rank
     llt = lambda_lambda_t(params)
@@ -594,14 +624,18 @@ def _k_system_chunked(params, ts: Array, xs: Array, s: int,
         and pt.resolve_backend("auto") == "pallas"
     )
     if use_pallas:
-        k_cm, off_cm, sig_logdet = _k_gap_parts_pallas(
-            g_matrix(params), boost, ts, s
+        mask = (jnp.ones((n,), dtype=dtype) if gap_mask is None
+                else gap_mask.astype(dtype))
+        k_cm, off_cm, lq_cm = _k_gap_parts_pallas(
+            g_matrix(params), boost, ts, mask, s
         )
     else:
-        k_cm, off_cm, sig_logdet = _k_gap_parts_xla(
+        k_cm, off_cm, lq_cm = _k_gap_parts_xla(
             gap_fn if gap_fn is not None else g_matrix(params),
             boost, ts, s, regular, rank, dtype,
+            gap_mask=None if gap_mask is None else gap_mask.astype(dtype),
         )
+    sig_logdet = -jnp.sum(lq_cm)
 
     # v in chunk-major order, padded to the emitted chunk width
     cw = k_cm.shape[-1]
@@ -611,6 +645,8 @@ def _k_system_chunked(params, ts: Array, xs: Array, s: int,
         [v, jnp.zeros((cw * s - n, rank), dtype=dtype)], axis=0
     )
     v_cm = jnp.transpose(v_pad.reshape(cw, s, rank), (1, 2, 0))
+    if return_sig_rows:
+        return k_cm, off_cm, v_cm, sig_logdet, lq_cm
     return k_cm, off_cm, v_cm, sig_logdet
 
 
@@ -670,6 +706,244 @@ def log_likelihood(
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_inv_logdet
     return -0.5 * (mahal + logdet)
+
+
+# ---------------------------------------------------------------------------
+# Stacked multi-series entries.  B independent series sharing one set of
+# parameters are concatenated into ONE block-tridiagonal system whose
+# series-boundary gaps are masked (gap_valid = 0): the off-diagonal
+# coupling AND the d_left/d_right precision contributions of those gaps
+# vanish, so K is exactly block-diagonal over the series and one
+# partitioned/Pallas solve processes the whole batch in a single
+# streaming pass.  The reference trains on one series at a time (its
+# dataset always returns element 0, data_utils.py:73-75, and the
+# multi-sample trainer.py is dead code); `parallel/data_parallel.py`
+# shards series over devices -- this path batches them WITHIN a chip, so
+# 10^4 short series cost one N = sum(n_b) kernel sweep instead of 10^4
+# tiny dispatches (or one padded vmap over the tile-padding batch-major
+# layout the docs warn about).
+# ---------------------------------------------------------------------------
+
+
+def _series_gap_mask(series_ids: Array) -> Array:
+    """Natural [n] gap mask from sorted series ids: gap i (between
+    points i and i+1) is within-series iff ids match; the trailing
+    slot (no gap) is 0."""
+    same = series_ids[1:] == series_ids[:-1]
+    return jnp.concatenate(
+        [same, jnp.zeros((1,), dtype=bool)]
+    )
+
+
+def _cm_to_natural(k_cm, o_cm, v_cm, rank):
+    """Unpack a chunk-major K system to natural [m, r, r] / [m, r]
+    order (m = s*C; the identity/zero padding rows are exact for every
+    solver entry)."""
+    m = k_cm.shape[0] * k_cm.shape[-1]
+    diag = jnp.moveaxis(k_cm, -1, 0).reshape(m, rank, rank)
+    off = jnp.moveaxis(o_cm, -1, 0).reshape(m, rank, rank)[: m - 1]
+    v = jnp.moveaxis(v_cm, -1, 0).reshape(m, rank)
+    return diag, off, v
+
+
+def _mahal_logdet_cm_any_n(k_cm, o_cm, v_cm, n, rank, backend):
+    """Fused (mahal, logdet) on a chunk-major K system at ANY total n:
+    the partitioned entry above the terminal size, otherwise the
+    chunk-major padding (identity/zero -- exact) unpacked to natural
+    order for the CR oracle engine."""
+    s = k_cm.shape[0]
+    if n >= max(pt._TERMINAL, 2 * s):
+        return pt.mahal_and_logdet_cm(k_cm, o_cm, v_cm, backend=backend)
+    diag, off, v = _cm_to_natural(k_cm, o_cm, v_cm, rank)
+    return cr.mahal_and_logdet(diag, off, v)
+
+
+@partial(jax.jit, static_argnames=("regular", "backend"))
+@_highest_precision
+def log_likelihood_stacked(
+    params: LEGParams, ts: Array, xs: Array, series_ids: Array,
+    regular: bool = False, backend: str = "auto",
+) -> Array:
+    """Sum of marginal log-likelihoods over B independent series stacked
+    in one [N_total] array (one solver pass; see module comment above).
+
+    ``series_ids`` [N_total]: sorted series label per point (any
+    integers; only adjacent-equality is used).  ``ts`` must be
+    increasing WITHIN each series; values may restart arbitrarily at
+    series boundaries (boundary gaps are masked out exactly).
+    ``regular=True`` asserts every series shares the constant gap
+    ts[1] - ts[0] (offsets may differ -- only gaps matter), reducing the
+    whole batch emission to ONE matrix exponential.
+
+    Exactly equal to sum_b log_likelihood(params, ts_b, xs_b)
+    (tests/test_batched.py).
+    """
+    llt = lambda_lambda_t(params)
+    num_obs = ts.shape[0]
+
+    x_llt_inv = jnp.linalg.solve(llt, xs.T).T
+    llt_mahal = jnp.sum(x_llt_inv * xs)
+    llt_logdet = num_obs * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
+
+    s = pt.default_chunk_len(num_obs)
+    k_cm, o_cm, v_cm, sig_inv_logdet = _k_system_chunked(
+        params, ts, xs, s, regular, gap_mask=_series_gap_mask(series_ids)
+    )
+    k_mahal, k_logdet = _mahal_logdet_cm_any_n(
+        k_cm, o_cm, v_cm, num_obs, params.rank, backend
+    )
+    mahal = llt_mahal - k_mahal
+    logdet = llt_logdet + k_logdet - sig_inv_logdet
+    return -0.5 * (mahal + logdet)
+
+
+def log_likelihood_batch(
+    params: LEGParams, ts_batch: Array, xs_batch: Array,
+    regular: bool = False, backend: str = "auto",
+) -> Array:
+    """`log_likelihood_stacked` over an equal-length batch
+    (ts [B, n], xs [B, n, obs]): flatten + consecutive ids."""
+    b, nb = ts_batch.shape
+    ids = jnp.broadcast_to(
+        jnp.arange(b)[:, None], (b, nb)
+    ).reshape(-1)
+    return log_likelihood_stacked(
+        params, ts_batch.reshape(-1), xs_batch.reshape(b * nb, -1), ids,
+        regular=regular, backend=backend,
+    )
+
+
+@partial(jax.jit, static_argnames=("regular",))
+@_highest_precision
+def posterior_mean_stacked(
+    params: LEGParams, ts: Array, xs: Array, series_ids: Array,
+    regular: bool = False,
+) -> Array:
+    """Per-series posterior means of the latent z, one stacked solve
+    ([N_total, rank]; rows line up with the inputs).  K is block-diagonal
+    over the series, so the joint solve IS the per-series solve.
+    Precision-engine route (for very smooth learned processes at float32
+    prefer per-series `posterior_mean(method="smoother")` -- the
+    conditioning bound in `_resolve_posterior_method` applies per
+    series, though short series keep dt moderate and rarely hit it)."""
+    n = ts.shape[0]
+    s = pt.default_chunk_len(n)
+    k_cm, o_cm, v_cm, _ = _k_system_chunked(
+        params, ts, xs, s, regular, gap_mask=_series_gap_mask(series_ids)
+    )
+    if n < max(pt._TERMINAL, 2 * s):
+        diag, off, v = _cm_to_natural(k_cm, o_cm, v_cm, params.rank)
+        return pt.solve(diag, off, v)[:n]
+    x_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm, backend="auto")
+    return x_pad[:n]
+
+
+@partial(jax.jit, static_argnames=("regular",))
+@_highest_precision
+def insample_posterior_stacked(
+    params: LEGParams, ts: Array, xs: Array, series_ids: Array,
+    regular: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Stacked-series `insample_posterior` (precision/selected-inversion
+    route): (mean [N, r], cov_diag [N, r, r], cov_off [N-1, r, r]).
+    cov_off rows at series boundaries are exactly zero (independent
+    series -- the block-diagonal K's inverse has zero cross blocks)."""
+    n = ts.shape[0]
+    s = pt.default_chunk_len(n)
+    k_cm, o_cm, v_cm, _ = _k_system_chunked(
+        params, ts, xs, s, regular, gap_mask=_series_gap_mask(series_ids)
+    )
+    if n < max(pt._TERMINAL, 2 * s):
+        diag, off, v = _cm_to_natural(k_cm, o_cm, v_cm, params.rank)
+        mean = pt.solve(diag, off, v)
+        cov_diag, cov_off = pt.inverse_blocks(diag, off)
+        return mean[:n], cov_diag[:n], cov_off[: n - 1]
+    mean_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm, backend="auto")
+    cov_diag_pad, cov_off_pad = pt.inverse_blocks_cm(k_cm, o_cm,
+                                                     backend="auto")
+    return mean_pad[:n], cov_diag_pad[:n], cov_off_pad[: n - 1]
+
+
+def _cm_rows_to_natural(rows_cm: Array, n: int) -> Array:
+    """[s, C] chunk-major per-row scalars -> natural [n] (row c*s + j
+    lives at [j, c]; padding rows dropped)."""
+    s, cw = rows_cm.shape
+    return jnp.transpose(rows_cm, (1, 0)).reshape(cw * s)[:n]
+
+
+@partial(jax.jit, static_argnames=("num_series", "regular", "backend"))
+@_highest_precision
+def log_likelihood_per_series(
+    params: LEGParams, ts: Array, xs: Array, series_ids: Array,
+    num_series: int, regular: bool = False, backend: str = "auto",
+) -> Array:
+    """PER-SERIES marginal log-likelihood vector [num_series] from ONE
+    stacked solver pass (`log_likelihood_stacked` computes only the sum).
+
+    ``series_ids`` must be sorted integers in [0, num_series); the
+    output's entry b is exactly log_likelihood(params, ts_b, xs_b)
+    (tests/test_batched.py).  Every term of the likelihood identity
+    decomposes over the block-diagonal stacked system:
+
+      mahal_b  = sum_{i in b} x_i.(LLT^{-1} x_i)  -  v_i.(K^{-1} v)_i
+      logdet_b = n_b log|2 pi LLT| + log|K_b| - log|Sigma_b^{-1}|
+
+    with log|K_b| a segment-sum of per-row pivot log-dets
+    (pt.logdet_rows: exact for block-diagonal K) and log|Sigma_b^{-1}|
+    a segment-sum of the per-gap log|Q1| the emission already computes.
+    Differentiable end-to-end: the solve and the per-row log-det carry
+    analytic adjoints (one solve + one selected inversion), so gradient
+    memory stays O(1) in N like the scalar entry.  Use for per-series
+    diagnostics, importance weighting, or minibatch losses over series.
+    """
+    rank = params.rank
+    llt = lambda_lambda_t(params)
+    n = ts.shape[0]
+
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(ts), series_ids, num_segments=num_series
+    )
+    x_llt_inv = jnp.linalg.solve(llt, xs.T).T
+    llt_mahal_b = jax.ops.segment_sum(
+        jnp.sum(x_llt_inv * xs, axis=1), series_ids,
+        num_segments=num_series,
+    )
+    llt_logdet_b = counts * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
+
+    s = pt.default_chunk_len(n)
+    k_cm, o_cm, v_cm, _, lq_cm = _k_system_chunked(
+        params, ts, xs, s, regular,
+        gap_mask=_series_gap_mask(series_ids), return_sig_rows=True,
+    )
+    # gap i sits between points i and i+1 of the same series (masked
+    # gaps are exactly zero, so their id attribution is immaterial)
+    sig_logdet_b = -jax.ops.segment_sum(
+        _cm_rows_to_natural(lq_cm, n), series_ids,
+        num_segments=num_series,
+    )
+
+    if n < max(pt._TERMINAL, 2 * s):
+        diag, off, v = _cm_to_natural(k_cm, o_cm, v_cm, rank)
+        x = pt.solve(diag, off, v)[:n]
+        ld_rows = pt.logdet_rows(diag, off)[:n]
+        v_nat = v[:n]
+    else:
+        x_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm, backend=backend)
+        x = x_pad[:n]
+        ld_rows = _cm_rows_to_natural(
+            pt.logdet_rows_cm(k_cm, o_cm, backend=backend), n
+        )
+        v_nat = jnp.moveaxis(v_cm, -1, 0).reshape(-1, rank)[:n]
+    k_mahal_b = jax.ops.segment_sum(
+        jnp.sum(v_nat * x, axis=1), series_ids, num_segments=num_series
+    )
+    k_logdet_b = jax.ops.segment_sum(
+        ld_rows, series_ids, num_segments=num_series
+    )
+
+    mahal_b = llt_mahal_b - k_mahal_b
+    logdet_b = llt_logdet_b + k_logdet_b - sig_logdet_b
+    return -0.5 * (mahal_b + logdet_b)
 
 
 @_highest_precision
@@ -1053,6 +1327,56 @@ def make_predictions(
     if include_obs_noise:
         cov = cov + lambda_lambda_t(params)[None]
     return mean, cov
+
+
+@partial(jax.jit, static_argnames=("include_obs_noise", "regular"))
+@_highest_precision
+def make_predictions_batch(
+    params: LEGParams,
+    ts_batch: Array,
+    xs_batch: Array,
+    target_batch: Array,
+    include_obs_noise: bool = False,
+    regular: bool = False,
+) -> Tuple[Array, Array]:
+    """`make_predictions` over an equal-length batch of B independent
+    series (ts [B, n], xs [B, n, obs], targets [B, P], each row sorted).
+
+    The expensive stage — posterior mean + selected inversion — runs as
+    ONE stacked block-diagonal system over all B series
+    (`insample_posterior_stacked`: series-boundary gaps masked, cross-
+    series posterior blocks exactly zero), then the element-major
+    `intercast` stitch is vmapped per series.  Returns
+    (mean [B, P, obs], cov [B, P, obs, obs]).
+
+    Precision-engine route; at float32 with very smooth learned
+    processes prefer per-series `make_predictions(method="smoother")`
+    (see `_resolve_posterior_method` — short series keep dt moderate and
+    rarely hit the bound).  Reference contrast: one series at a time,
+    per-target Python loop (models.py:454-546).
+    """
+    b, nb = ts_batch.shape
+    rank = params.rank
+    ids = jnp.broadcast_to(jnp.arange(b)[:, None], (b, nb)).reshape(-1)
+    mean, cov_diag, cov_off = insample_posterior_stacked(
+        params, ts_batch.reshape(-1), xs_batch.reshape(b * nb, -1), ids,
+        regular=regular,
+    )
+    mean_b = mean.reshape(b, nb, rank)
+    cd_b = cov_diag.reshape(b, nb, rank, rank)
+    # off rows at series boundaries are exactly zero; pad one trailing
+    # zero row so the [N-1] stack splits into per-series [nb - 1] stacks
+    off_b = jnp.concatenate(
+        [cov_off, jnp.zeros((1, rank, rank), cov_off.dtype)], axis=0
+    ).reshape(b, nb, rank, rank)[:, : nb - 1]
+    lat_mean, lat_cov = jax.vmap(
+        lambda m, cd, co, t, tt: intercast(params, m, cd, co, t, tt)
+    )(mean_b, cd_b, off_b, ts_batch, target_batch)
+    pred_mean = lat_mean @ params.b.T
+    pred_cov = params.b[None, None] @ lat_cov @ params.b.T[None, None]
+    if include_obs_noise:
+        pred_cov = pred_cov + lambda_lambda_t(params)[None, None]
+    return pred_mean, pred_cov
 
 
 @partial(jax.jit, static_argnames=("num",))

@@ -283,7 +283,7 @@ def _chol_lanes(a):
 def _ksys_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref, boost_ref,
                  dt_ref, gv_ref, real_ref, wrap_ref,
                  k_ref, off_ref, lq_ref,
-                 dleft_s, lq_s):
+                 dleft_s):
     """One (chunk-tile, step) cell: gaps dt[j] -> K rows.
 
       off_row[j] = -Q1^{-1} e                       * gap_valid
@@ -294,7 +294,10 @@ def _ksys_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref, boost_ref,
     d_left[j-1] is the previous grid step's value carried in VMEM
     scratch; at j = 0 it crosses the chunk boundary and comes from the
     precomputed ``wrap`` input (gap c*s - 1, lane-shifted).  log|Q1| is
-    accumulated valid-masked per tile into SMEM.
+    written PER GAP (valid-masked, [s, 1, C] rows): callers sum it for
+    the scalar prior log-determinant, and the stacked multi-series
+    per-series likelihood segment-sums it (leg.log_likelihood_per_series)
+    -- the extra [N] write is ~2% of the K-row traffic at rank 5.
     """
     from cyclic_gps_tpu.ops.pallas_sweep import (_solve_lower,
                                                  _solve_lower_t)
@@ -317,16 +320,11 @@ def _ksys_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref, boost_ref,
     @pl.when(j == 0)
     def _():
         dleft_s[:] = wrap_ref[:]
-        lq_s[0, 0] = jnp.zeros((), dtype)
 
     k_ref[0] = eye + dleft_s[:] + d_right + boost_ref[:] * real3
     off_ref[0] = -q1_inv_e * gv3
     dleft_s[:] = d_left
-    lq_s[0, 0] = lq_s[0, 0] + jnp.sum(2.0 * ldl * gv_ref[0, 0][None, :])
-
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _():
-        lq_ref[pl.program_id(0), 0] = lq_s[0, 0]
+    lq_ref[0, 0] = 2.0 * ldl[0] * gv_ref[0, 0]
 
 
 @jax.jit
@@ -337,8 +335,10 @@ def k_system_pallas(g: Array, boost: Array, dt_cm: Array, gv_cm: Array,
     dt_cm/gv_cm/real_cm: [s, C] per-(step, chunk) gaps / gap-validity /
     point-validity; wrap_em: [r, r, C] d_left of gap c*s - 1 (already
     valid-masked and lane-shifted; zeros for c = 0).  Returns
-    (k_cm [s, r, r, Cpad], off_cm [s, r, r, Cpad], sum log|Q1|) with
-    identity/zero padding chunks (exact for the partitioned solver).
+    (k_cm [s, r, r, Cpad], off_cm [s, r, r, Cpad], lq_cm [s, Cpad]) with
+    identity/zero padding chunks (exact for the partitioned solver);
+    lq_cm holds the valid-masked PER-GAP log|Q1| (sum it for the scalar
+    prior log-determinant; padding lanes are exactly zero).
     """
     r = g.shape[0]
     s, c = dt_cm.shape
@@ -385,15 +385,14 @@ def k_system_pallas(g: Array, boost: Array, dt_cm: Array, gv_cm: Array,
                   pl.BlockSpec((r, r, nt), lambda t, j: (0, 0, t),
                                memory_space=pltpu.VMEM)],
         out_specs=[row, row,
-                   pl.BlockSpec((nct, 1), lambda t, j: (0, 0),
-                                memory_space=pltpu.SMEM)],
+                   pl.BlockSpec((1, 1, nt), lambda t, j: (j, 0, t),
+                                memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((s, r, r, cpad), g.dtype),
                    jax.ShapeDtypeStruct((s, r, r, cpad), g.dtype),
-                   jax.ShapeDtypeStruct((nct, 1), g.dtype)],
-        scratch_shapes=[pltpu.VMEM((r, r, nt), g.dtype),
-                        pltpu.SMEM((1, 1), g.dtype)],
+                   jax.ShapeDtypeStruct((s, 1, cpad), g.dtype)],
+        scratch_shapes=[pltpu.VMEM((r, r, nt), g.dtype)],
     )(half_norm.reshape(1, 1), aug_norm.reshape(1, 1), smax.reshape(1, 1),
       g[:, :, None], sym[:, :, None], boost[:, :, None],
       dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :], wrap_em)
     k_cm, off_cm, lq = outs
-    return k_cm, off_cm, jnp.sum(lq)
+    return k_cm, off_cm, lq[:, 0, :]

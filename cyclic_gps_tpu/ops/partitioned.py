@@ -705,6 +705,162 @@ def logdet(
     return mahal_and_logdet(diag, off, zeros, s=s, jitter=jitter)[1]
 
 
+# ---------------------------------------------------------------------------
+# Per-row pivot log-determinants.  Every pivot of the partitioned
+# elimination (interior steps, reduced boundary levels, terminal
+# sequential sweep) belongs to exactly one block row, so the scalar
+# log|J| decomposes as a per-row vector ld_rows with sum(ld_rows) ==
+# logdet.  For a system that is BLOCK-DIAGONAL over contiguous row
+# segments (zero off blocks at every segment boundary -- the stacked
+# multi-series posterior precision, leg.log_likelihood_stacked), no
+# elimination step ever crosses a zero boundary coupling, so
+# segment-summing ld_rows yields each segment's EXACT log|K_b|.  That is
+# the intended use (leg.log_likelihood_per_series); for a coupled system
+# the per-row values depend on the elimination order and only their
+# total is meaningful.
+# ---------------------------------------------------------------------------
+
+
+def _ld_rows_seq(diag, off, jitter):
+    """Terminal per-row sweep: sequential block-Cholesky over natural
+    [n, d, d] rows (n < _TERMINAL-ish -- a tiny lax.scan program);
+    returns ld_rows [n] with ld_rows[i] = 2 sum log diag L_i."""
+    n, d, _ = diag.shape
+    off_prev = jnp.concatenate(
+        [jnp.zeros((1, d, d), diag.dtype), off[: n - 1]], axis=0
+    )  # J[i, i-1] feeding row i's downdate (zero for i = 0)
+    eye = jnp.eye(d, dtype=diag.dtype)[:, :, None]
+    inv0 = jnp.ones((d, 1), diag.dtype)
+
+    def body(carry, inp):
+        l_prev, invd_prev = carry
+        r_i, o_prev = inp
+        r_em = sb.to_em(r_i[None])
+        o_em = sb.to_em(o_prev[None])
+        w = sb.solve_lower(l_prev, invd_prev, sb.transpose(o_em))
+        p = r_em - sb.matmul(w, w, ta=True)
+        l_i, invd_i = sb.cholesky(p, jitter=jitter)
+        return (l_i, invd_i), 2.0 * sb.chol_log_diag_rows(l_i)[0]
+
+    _, lds = jax.lax.scan(body, (eye, inv0), (diag, off_prev))
+    return lds
+
+
+def _ld_rows_cm_impl(R_cm, O_cm, jitter):
+    """Chunk-major per-row pivot log-dets [s, C]: rows j >= 1 from the
+    interior elimination sweep, row j = 0 of chunk c from the reduced
+    boundary system's own recursion (reduced row c IS natural row c*s)."""
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    zvec = jnp.zeros((d, c), R_cm.dtype)
+    state = _step(None, R_cm[1], O_cm[1], zvec, O_cm[0], jitter)
+    first = 2.0 * sb.chol_log_diag_rows(state.dj)  # [C], step j = 1
+    if s > 2:
+        def body(st, inp):
+            r_j, o_j = inp
+            new = _step(st, r_j, o_j, zvec, None, jitter)
+            return new, 2.0 * sb.chol_log_diag_rows(new.dj)
+
+        state, rest = jax.lax.scan(body, state, (R_cm[2:], O_cm[2:]))
+        ld_int = jnp.concatenate([first[None], rest], axis=0)  # [s-1, C]
+    else:
+        ld_int = first[None]
+    w1 = sb.solve_lower(state.dj, state.invd, sb.transpose(O_cm[s - 1]))
+    red_diag, red_off, _ = _reduced_system(
+        R_cm, jnp.zeros((s, d, c), R_cm.dtype), state, w1
+    )
+    red_rows = logdet_rows(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1], jitter=jitter
+    )  # [C]
+    return jnp.concatenate([red_rows[None], ld_int], axis=0)  # [s, C]
+
+
+@partial(jax.jit, static_argnames=("s", "jitter"))
+def logdet_rows(diag: Array, off: Array, s: Optional[int] = None,
+                jitter: float = 0.0) -> Array:
+    """Per-row pivot log-determinant partials [n] (see the section
+    comment above; sum(logdet_rows(...)) == logdet(...) exactly).
+    Differentiable by autodiff through the sweeps; for the analytic
+    adjoint use `logdet_per_segment` / `logdet_rows_cm`."""
+    n = diag.shape[0]
+    s_ = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s_):
+        return _ld_rows_seq(diag, off, jitter)
+    R_cm, O_cm, _, c = _chunk_layout(diag, off, None, s_)
+    rows_cm = _ld_rows_cm_impl(R_cm, O_cm, jitter)
+    return jnp.transpose(rows_cm, (1, 0)).reshape(c * s_)[:n]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ld_rows_cm(R_cm, O_cm, jitter, backend):
+    return _ld_rows_cm_impl(R_cm, O_cm, jitter)
+
+
+def _ld_rows_cm_fwd(R_cm, O_cm, jitter, backend):
+    return _ld_rows_cm_impl(R_cm, O_cm, jitter), (R_cm, O_cm)
+
+
+def _ld_rows_cm_bwd(jitter, backend, res, w_cm):
+    """Segment-wise analytic adjoint (one selected inversion, O(1)
+    residuals).  VALID when the incoming per-row cotangent w is constant
+    within each block-diagonal segment of J (the segment-sum use): then
+      d(sum_i w_i ld_i)/dR_i = w_i Sigma_ii
+      d(sum_i w_i ld_i)/dO_i = 2 w_i Sigma_{i+1,i}
+    with Sigma = J^{-1} selected blocks (Sigma_{i+1,i} = 0 across
+    segment boundaries, so the weight tie-break there is immaterial --
+    matching `_mahal_cm_bwd`'s scalar-cotangent formula per segment).
+    For general per-row cotangents the true adjoint depends on the
+    elimination order and this formula is NOT it; consumers must
+    segment-sum (leg.log_likelihood_per_series does)."""
+    R_cm, O_cm = res
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
+    w = jnp.transpose(w_cm, (1, 0)).reshape(c * s)  # natural order [m]
+    g_diag = w[:, None, None] * sig_diag
+    g_off = 2.0 * w[:, None, None] * sig_off
+    g_R = jnp.transpose(g_diag.reshape(c, s, d, d), (1, 2, 3, 0))
+    g_O = jnp.transpose(g_off.reshape(c, s, d, d), (1, 2, 3, 0))
+    return g_R, g_O
+
+
+_ld_rows_cm.defvjp(_ld_rows_cm_fwd, _ld_rows_cm_bwd)
+
+
+def logdet_rows_cm(R_cm: Array, O_cm: Array, jitter: float = 0.0,
+                   backend: str = "auto") -> Array:
+    """Per-row pivot log-dets [s, C] on ALREADY chunk-major inputs.
+    The forward sweep is the XLA scan; ``backend`` selects the engine
+    for the analytic adjoint's selected inversion (Pallas on TPU).
+    Gradient validity: see `_ld_rows_cm_bwd` (segment-sum consumers)."""
+    return _ld_rows_cm(R_cm, O_cm, jitter, resolve_backend(backend))
+
+
+@partial(jax.jit, static_argnames=("num_segments", "s", "jitter",
+                                   "backend"))
+def logdet_per_segment(diag: Array, off: Array, seg_ids: Array,
+                       num_segments: int, s: Optional[int] = None,
+                       jitter: float = 0.0,
+                       backend: str = "auto") -> Array:
+    """Per-segment log-determinants [num_segments] of a block-tridiag
+    system that is block-diagonal over contiguous row segments
+    (``seg_ids`` sorted, off blocks crossing segment boundaries zero).
+    Exact: out[b] == logdet of segment b's own subsystem.  The analog of
+    running the reference's `det` (cyclic_reduction.py:441-470) once per
+    segment, in ONE streaming elimination."""
+    n = diag.shape[0]
+    s_ = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s_):
+        rows = _ld_rows_seq(diag, off, jitter)
+    else:
+        R_cm, O_cm, _, c = _chunk_layout(diag, off, None, s_)
+        rows_cm = _ld_rows_cm(R_cm, O_cm, jitter,
+                              resolve_backend(backend))
+        rows = jnp.transpose(rows_cm, (1, 0)).reshape(c * s_)[:n]
+    return jax.ops.segment_sum(rows, seg_ids,
+                               num_segments=num_segments)
+
+
 def _solve_impl(diag, off, y, s, jitter):
     """Returns (J^{-1} y, log|J|) -- the log-det falls out of the same
     forward sweep for free."""

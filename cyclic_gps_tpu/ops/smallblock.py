@@ -147,6 +147,13 @@ def chol_log_diag_sum(L: Array) -> Array:
     return jnp.sum(jnp.log(diag))
 
 
+def chol_log_diag_rows(L: Array) -> Array:
+    """sum log L[j, j] over the block dims only -> [B] (per-block pivot
+    log-determinant halves; see partitioned.logdet_rows)."""
+    diag = jnp.diagonal(L, axis1=0, axis2=1)  # [B, d]
+    return jnp.sum(jnp.log(diag), axis=1)
+
+
 def solve_lower(L: Array, inv_diag: Array, y: Array) -> Array:
     """Per-block lower-triangular solve ``L X = Y`` with matrix RHS.
 

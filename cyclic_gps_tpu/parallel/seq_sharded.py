@@ -610,7 +610,8 @@ def _mahal_local_diff(R, O, yt, axis, jitter, backend="xla"):
 # ---------------------------------------------------------------------------
 
 
-def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
+def _peg_precision_local(g: Array, ts_loc: Array, axis: str,
+                         gap_mask_loc: Optional[Array] = None):
     """Shard-local PEG precision blocks, ELEMENT-MAJOR throughout, plus
     the local partial of the closed-form prior log-determinant.
 
@@ -628,6 +629,13 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
     Also returns the local partial of log|Sigma^{-1}| = -sum_i log|Q1_i|
     over real gaps (Markov factorisation, leg.peg_precision_and_logdet):
     psum it -- no factorization of the bare prior precision needed.
+
+    ``gap_mask_loc`` (optional [m], the local slice of a natural gap
+    mask): extra invalid gaps -- the sharded stacked multi-series entry
+    masks series-boundary gaps here, making K exactly block-diagonal
+    over the series (see leg._chunk_gap_geometry).  Masked gaps' diffs
+    are clamped to 1 so hostile boundary gaps (timestamps restarting)
+    cannot overflow the exponential.
     """
     shifts = _halo_shifts(axis)
     rank = g.shape[0]
@@ -642,7 +650,9 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
         jnp.arange(mloc) == mloc - 1
     )
     gap_valid = (~is_global_last).astype(g.dtype)  # [m]
-    diffs = jnp.where(is_global_last, 1.0, diffs)
+    if gap_mask_loc is not None:
+        gap_valid = gap_valid * gap_mask_loc.astype(g.dtype)
+    diffs = diffs * gap_valid + (1.0 - gap_valid)
 
     e, q1 = leg.transition_and_noise_em(g, diffs)
     # off/d_left/d_right from Q1 alone (push-through identity; no second
@@ -661,10 +671,12 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str):
     return diag_em, off_em, sig_logdet_local
 
 
-def _posterior_system_local(params, ts_loc, xs_loc, axis: str):
+def _posterior_system_local(params, ts_loc, xs_loc, axis: str,
+                            gap_mask_loc: Optional[Array] = None):
     """Shard-local posterior-precision system: (k_diag_em, k_off_em,
     v_em) plus the scalars (llt_mahal, llt_logdet, sig_logdet) the
-    likelihood assembly needs."""
+    likelihood assembly needs.  ``gap_mask_loc``: see
+    `_peg_precision_local` (stacked multi-series)."""
     llt = leg.lambda_lambda_t(params)
     g = leg.g_matrix(params)
     num_obs = jax.lax.psum(ts_loc.shape[0], axis)
@@ -675,7 +687,7 @@ def _posterior_system_local(params, ts_loc, xs_loc, axis: str):
     v = x_llt_inv @ params.b
 
     sig_diag_em, sig_off_em, sig_ld_loc = _peg_precision_local(
-        g, ts_loc, axis
+        g, ts_loc, axis, gap_mask_loc
     )
     # closed-form log|Sigma^{-1}| (no second elimination pass)
     sig_logdet = jax.lax.psum(sig_ld_loc, axis)
@@ -687,10 +699,10 @@ def _posterior_system_local(params, ts_loc, xs_loc, axis: str):
 
 
 def _log_likelihood_local(params, ts_loc, xs_loc, axis: str,
-                          backend: str = "xla"):
+                          backend: str = "xla", gap_mask_loc=None):
     (k_diag_em, k_off_em, v_em,
      llt_mahal, llt_logdet, sig_logdet) = _posterior_system_local(
-        params, ts_loc, xs_loc, axis
+        params, ts_loc, xs_loc, axis, gap_mask_loc
     )
     # analytic custom VJP: the backward is one sharded solve + one
     # sharded selected inversion (O(1) residuals) instead of autodiff
@@ -740,33 +752,83 @@ def _build_loglik_fn(mesh, axis, backend="xla"):
     )
 
 
+def log_likelihood_stacked(
+    params: leg.LEGParams,
+    ts: Array,
+    xs: Array,
+    series_ids: Array,
+    mesh: Mesh,
+    axis: str = "seq",
+    backend: str = "xla",
+) -> Array:
+    """Sequence-sharded STACKED multi-series likelihood: B independent
+    series concatenated into one [N_total] array (sorted ``series_ids``
+    per point), sharded along time over the mesh axis and solved as ONE
+    block-diagonal system (series-boundary gaps masked exactly — the
+    multi-chip `leg.log_likelihood_stacked`).  Series may straddle shard
+    edges arbitrarily; N_total must satisfy the usual power-of-two /
+    divisibility constraint.  Differentiable with the same analytic
+    backward as `log_likelihood`."""
+    _check_shard(ts.shape[0], mesh, axis)
+    mask = leg._series_gap_mask(series_ids).astype(ts.dtype)
+    fn = _cached_shard_fn(_build_loglik_stacked_fn, mesh, axis, backend)
+    return fn(params, ts, xs, mask)
+
+
+def _build_loglik_stacked_fn(mesh, axis, backend="xla"):
+    def local(params, ts_loc, xs_loc, mask_loc):
+        return _log_likelihood_local(params, ts_loc, xs_loc, axis,
+                                     backend, mask_loc)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis, None), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
 def posterior_mean(
     params: leg.LEGParams,
     ts: Array,
     xs: Array,
     mesh: Mesh,
     axis: str = "seq",
+    series_ids: Optional[Array] = None,
 ) -> Array:
     """Sequence-sharded posterior mean of the latent z [N, rank]: the
     multi-chip `leg.posterior_mean` (precision route) -- posteriors no
-    longer bounded by one chip's HBM."""
+    longer bounded by one chip's HBM.  ``series_ids`` (optional, sorted
+    [N]): treat the rows as B stacked independent series
+    (the multi-chip `leg.posterior_mean_stacked`)."""
     _check_shard(ts.shape[0], mesh, axis)
-    fn = _cached_shard_fn(_build_posterior_mean_fn, mesh, axis)
-    return fn(params, ts, xs)
+    if series_ids is None:
+        fn = _cached_shard_fn(_build_posterior_mean_fn, mesh, axis)
+        return fn(params, ts, xs)
+    mask = leg._series_gap_mask(series_ids).astype(ts.dtype)
+    fn = _cached_shard_fn(_build_posterior_mean_fn, mesh, axis, True)
+    return fn(params, ts, xs, mask)
 
 
-def _build_posterior_mean_fn(mesh, axis):
-    def local(params, ts_loc, xs_loc):
+def _build_posterior_mean_fn(mesh, axis, masked=False):
+    def local(params, ts_loc, xs_loc, *mask_loc):
         k_diag_em, k_off_em, v_em, _, _, _ = _posterior_system_local(
-            params, ts_loc, xs_loc, axis
+            params, ts_loc, xs_loc, axis,
+            mask_loc[0] if masked else None,
         )
         x, _ = _solve_local(k_diag_em, k_off_em, v_em, axis, 0.0)
         return sb.vec_from_em(x)
 
+    in_specs = (P(), P(axis), P(axis, None)) + (
+        (P(axis),) if masked else ()
+    )
     return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(axis), P(axis, None)),
+            in_specs=in_specs,
             out_specs=P(axis, None),
             check_vma=False,
         )
@@ -779,31 +841,44 @@ def insample_posterior(
     xs: Array,
     mesh: Mesh,
     axis: str = "seq",
+    series_ids: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Sequence-sharded in-sample posterior: (mean [N, r], marginal
     covariances [N, r, r], lag-1 cross-covariances [N-1, r, r]) -- the
     multi-chip `leg.insample_posterior` (precision route: sharded solve +
-    sharded Takahashi selected inversion)."""
+    sharded Takahashi selected inversion).  ``series_ids`` (optional,
+    sorted [N]): stacked independent series (the multi-chip
+    `leg.insample_posterior_stacked`; cross-series off rows are exactly
+    zero)."""
     n = ts.shape[0]
     _check_shard(n, mesh, axis)
-    fn = _cached_shard_fn(_build_insample_fn, mesh, axis)
-    mean, cov_diag, cov_off = fn(params, ts, xs)
+    if series_ids is None:
+        fn = _cached_shard_fn(_build_insample_fn, mesh, axis)
+        mean, cov_diag, cov_off = fn(params, ts, xs)
+    else:
+        mask = leg._series_gap_mask(series_ids).astype(ts.dtype)
+        fn = _cached_shard_fn(_build_insample_fn, mesh, axis, True)
+        mean, cov_diag, cov_off = fn(params, ts, xs, mask)
     return mean, cov_diag, cov_off[: n - 1]
 
 
-def _build_insample_fn(mesh, axis):
-    def local(params, ts_loc, xs_loc):
+def _build_insample_fn(mesh, axis, masked=False):
+    def local(params, ts_loc, xs_loc, *mask_loc):
         k_diag_em, k_off_em, v_em, _, _, _ = _posterior_system_local(
-            params, ts_loc, xs_loc, axis
+            params, ts_loc, xs_loc, axis,
+            mask_loc[0] if masked else None,
         )
         x, _ = _solve_local(k_diag_em, k_off_em, v_em, axis, 0.0)
         cov_d, cov_o = _inverse_local(k_diag_em, k_off_em, axis, 0.0)
         return sb.vec_from_em(x), sb.from_em(cov_d), sb.from_em(cov_o)
 
+    in_specs = (P(), P(axis), P(axis, None)) + (
+        (P(axis),) if masked else ()
+    )
     return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(axis), P(axis, None)),
+            in_specs=in_specs,
             out_specs=(P(axis, None), P(axis, None, None),
                        P(axis, None, None)),
             check_vma=False,

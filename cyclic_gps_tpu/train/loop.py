@@ -92,6 +92,21 @@ def nll_loss_kalman_steady(params: leg.LEGParams, ts: Array,
     ) / xs.size
 
 
+def nll_loss_stacked(params: leg.LEGParams, ts: Array, xs: Array,
+                     series_ids: Array, regular: bool = False) -> Array:
+    """Mean per-observation NLL over B independent series stacked into
+    ONE solver pass (leg.log_likelihood_stacked): the within-chip batch
+    counterpart of `parallel.data_parallel.batch_nll` (which shards
+    series over devices).  Precision-form caveat from `nll_loss` applies
+    per series, but short series keep dt*smoothness moderate -- the f32
+    regime this path targets (many short series) is exactly where the
+    precision form stays well-conditioned."""
+    nobs = xs.size
+    return -leg.log_likelihood_stacked(
+        params, ts, xs, series_ids, regular=regular
+    ) / nobs
+
+
 LOSSES = {
     "cr": nll_loss,
     "kalman": nll_loss_kalman,
@@ -198,6 +213,62 @@ def fit(
     for step in range(num_steps):
         params, opt_state, loss_v = train_step(params, opt_state, ts, xs,
                                                opt, loss)
+        loss_f = float(loss_v)
+        losses.append(loss_f)
+        if callback is not None:
+            callback(step, loss_f)
+        elif log_every and step % log_every == 0:
+            print(f"step {step:5d}  NLL {loss_f:.6f}")
+    return FitResult(params=params, losses=losses)
+
+
+@partial(jax.jit, static_argnames=("optimizer", "regular"))
+def train_step_stacked(
+    params: leg.LEGParams,
+    opt_state,
+    ts: Array,
+    xs: Array,
+    series_ids: Array,
+    optimizer: optax.GradientTransformation,
+    regular: bool = False,
+):
+    """One gradient step on a stacked multi-series batch."""
+    def loss_fn(p):
+        return nll_loss_stacked(p, ts, xs, series_ids, regular=regular)
+
+    value, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(
+        grads, opt_state, params, value=value, grad=grads,
+        value_fn=loss_fn,
+    )
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, value
+
+
+def fit_stacked(
+    params: leg.LEGParams,
+    ts: Array,
+    xs: Array,
+    series_ids: Array,
+    num_steps: int = 1000,
+    optimizer: str = "adam",
+    lr: float = 1e-2,
+    log_every: int = 100,
+    callback: Optional[Callable[[int, float], None]] = None,
+    regular: bool = False,
+) -> FitResult:
+    """Full-batch training on B stacked series (shared parameters, one
+    block-diagonal solve per step -- see leg.log_likelihood_stacked).
+    Equal-length batches: flatten [B, n] / [B, n, obs] and pass
+    consecutive ids (or use leg.log_likelihood_batch's id construction).
+    """
+    opt = make_optimizer(optimizer, lr)
+    opt_state = opt.init(params)
+    losses = []
+    for step in range(num_steps):
+        params, opt_state, loss_v = train_step_stacked(
+            params, opt_state, ts, xs, series_ids, opt, regular
+        )
         loss_f = float(loss_v)
         losses.append(loss_f)
         if callback is not None:

@@ -142,29 +142,34 @@ def test_k_system_pallas_matches_xla():
     ).astype(jnp.float32)
     c = -(-n // s)
 
-    k_x, o_x, ld_x = leg._k_gap_parts_xla(g, boost, ts, s, False, rank,
+    k_x, o_x, lq_x = leg._k_gap_parts_xla(g, boost, ts, s, False, rank,
                                           jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        k_p, o_p, ld_p = leg._k_gap_parts_pallas(g, boost, ts, s)
+        k_p, o_p, lq_p = leg._k_gap_parts_pallas(
+            g, boost, ts, jnp.ones_like(ts), s)
     np.testing.assert_allclose(np.asarray(k_p[..., :c]), np.asarray(k_x),
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(o_p[..., :c]), np.asarray(o_x),
                                rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(float(ld_p), float(ld_x), rtol=1e-5)
+    # per-gap log|Q1| rows (kernel-tile padding lanes exactly zero)
+    np.testing.assert_allclose(np.asarray(lq_p[:, :c]), np.asarray(lq_x),
+                               rtol=1e-4, atol=1e-6)
+    assert float(jnp.sum(jnp.abs(lq_p[:, c:]))) == 0.0
 
     rng = np.random.RandomState(2)
     w_k = jnp.asarray(rng.randn(*k_x.shape), jnp.float32)
     w_o = jnp.asarray(rng.randn(*o_x.shape), jnp.float32)
+    w_l = jnp.asarray(rng.randn(*lq_x.shape), jnp.float32)
 
     def loss_x(g_, b_):
-        k, o, ld = leg._k_gap_parts_xla(g_, b_, ts, s, False, rank,
+        k, o, lq = leg._k_gap_parts_xla(g_, b_, ts, s, False, rank,
                                         jnp.float32)
-        return jnp.sum(k * w_k) + jnp.sum(o * w_o) + 0.7 * ld
+        return jnp.sum(k * w_k) + jnp.sum(o * w_o) + jnp.sum(lq * w_l)
 
     def loss_p(g_, b_):
-        k, o, ld = leg._k_gap_parts_pallas(g_, b_, ts, s)
+        k, o, lq = leg._k_gap_parts_pallas(g_, b_, ts, jnp.ones_like(ts), s)
         return (jnp.sum(k[..., :c] * w_k) + jnp.sum(o[..., :c] * w_o)
-                + 0.7 * ld)
+                + jnp.sum(lq[:, :c] * w_l))
 
     g1 = jax.grad(loss_x, argnums=(0, 1))(g, boost)
     with pltpu.force_tpu_interpret_mode():

@@ -171,6 +171,59 @@ def test_seq_sharded_posterior_matches_single_device():
                                    rtol=1e-7, atol=1e-9)
 
 
+def test_seq_sharded_stacked_matches_single_device():
+    """Multi-chip STACKED multi-series entries == the single-device
+    stacked entries (themselves == per-series sums, tests/test_batched):
+    ragged series straddling shard edges, timestamps restarting at each
+    boundary, values + parameter gradient + posteriors."""
+    lengths = (100, 37, 75, 44)  # sums to 256: power of two, 32/shard
+    obs = 2
+    parts = [
+        generate_data(n, obs, dtype=jnp.float64, spacing="irregular",
+                      seed=60 + i)
+        for i, n in enumerate(lengths)
+    ]
+    ts = jnp.concatenate([p[0] for p in parts])
+    xs = jnp.concatenate([p[1] for p in parts])
+    ids = jnp.concatenate([
+        jnp.full((n,), i, dtype=jnp.int32) for i, n in enumerate(lengths)
+    ])
+    params = leg.init_params(jax.random.key(7), rank=3, obs_dim=obs,
+                             dtype=jnp.float64)
+    mesh = seq_sharded.make_seq_mesh(8)
+
+    ll_s = seq_sharded.log_likelihood_stacked(params, ts, xs, ids, mesh)
+    ll_r = leg.log_likelihood_stacked(params, ts, xs, ids)
+    np.testing.assert_allclose(float(ll_s), float(ll_r), rtol=1e-10)
+
+    g_s = jax.grad(
+        lambda p: seq_sharded.log_likelihood_stacked(p, ts, xs, ids, mesh)
+    )(params)
+    g_r = jax.grad(
+        lambda p: leg.log_likelihood_stacked(p, ts, xs, ids)
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+    mean_s = seq_sharded.posterior_mean(params, ts, xs, mesh,
+                                        series_ids=ids)
+    mean_r = leg.posterior_mean_stacked(params, ts, xs, ids)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_r),
+                               rtol=1e-8, atol=1e-10)
+
+    m_s, cd_s, co_s = seq_sharded.insample_posterior(params, ts, xs, mesh,
+                                                     series_ids=ids)
+    m_r, cd_r, co_r = leg.insample_posterior_stacked(params, ts, xs, ids)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_r),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cd_s), np.asarray(cd_r),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(co_s), np.asarray(co_r),
+                               rtol=1e-7, atol=1e-10)
+
+
 def test_seq_sharded_rejects_bad_sizes():
     diag, off, v = _well_conditioned(96, 2)  # not a power of two
     mesh = seq_sharded.make_seq_mesh(8)
