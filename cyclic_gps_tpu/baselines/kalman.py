@@ -27,7 +27,7 @@ kalman.py:10-12); the first step predicts before updating.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,7 @@ def leg_to_ssm(
     ts: Array,
     use_approximation: bool = False,
     regular: bool = False,
+    gap_mask: Optional[Array] = None,
 ) -> SSM:
     """SSM matrices for the LEG model on grid ``ts``.
 
@@ -78,10 +79,35 @@ def leg_to_ssm(
     ``regular=True`` asserts a constant gap ts[1] - ts[0]: ONE matrix
     exponential broadcast over the grid instead of T -- the dominant
     setup cost of the smoother route at large T.
+
+    ``gap_mask`` (optional natural [T]; gap i couples points i and i+1,
+    see leg._series_gap_mask): transitions into masked-gap successors are
+    replaced by (A = 0, Q = I), which makes the one-step-ahead predictive
+    of each series' first point the exact STATIONARY prior -- the filter
+    restarts per series, so the total (and per-step) log-likelihood of a
+    stacked multi-series grid is exactly the sum over independent series.
+    Masked gaps' diffs are clamped to 1 first (restarting timestamps
+    cannot overflow the exponential).
     """
     g = leg.g_matrix(params)
     rank = params.rank
     t = ts.shape[0]
+    dtype = g.dtype
+    tm = None
+    if gap_mask is not None:
+        # transition INTO point j rides gap j-1; entry 0 (the stationary
+        # pseudo-gap) stays unmasked (predict from P0 = I is stationary)
+        tm = jnp.concatenate(
+            [jnp.ones((1,), dtype), gap_mask.astype(dtype)[: t - 1]]
+        )
+
+    def masked(a, q):
+        if tm is None:
+            return a, q
+        eye = jnp.eye(rank, dtype=dtype)[None]
+        t3 = tm[:, None, None]
+        return a * t3, q * t3 + (1.0 - t3) * eye
+
     if regular:
         dt = (ts[1] - ts[0])[None]
         if use_approximation:
@@ -93,9 +119,12 @@ def leg_to_ssm(
             a1, q1 = leg.transition_and_noise(g, dt)
         a = jnp.broadcast_to(a1, (t, rank, rank))
         q = jnp.broadcast_to(q1, (t, rank, rank))
+        a, q = masked(a, q)
         return SSM(a, q, params.b, leg.lambda_lambda_t(params))
     diffs = ts[1:] - ts[:-1]
     diffs = jnp.concatenate([diffs[:1], diffs])  # [T]
+    if tm is not None:
+        diffs = diffs * tm + (1.0 - tm)
     if use_approximation:
         a = (
             jnp.eye(rank, dtype=g.dtype)[None]
@@ -106,6 +135,7 @@ def leg_to_ssm(
     else:
         # stable Van Loan construction of (A, Q = I - A A^T)
         a, q = leg.transition_and_noise(g, diffs)
+    a, q = masked(a, q)
     return SSM(a, q, params.b, leg.lambda_lambda_t(params))
 
 
@@ -442,9 +472,9 @@ def _filter_block_em(a, q, h, r_em, y, m_in, p_in, valid):
         jnp.sum(z * z, axis=0)
         + obs * jnp.log(2 * jnp.pi)
         + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l2, axis1=0, axis2=1)), axis=1)
-    )
-    ll = jnp.sum(ll_t * valid)
-    return ms, ps, ll, ms[:, -1], ps[:, :, -1]
+    ) * valid  # per-step rows (padded steps exactly zero)
+    ll = jnp.sum(ll_t)
+    return ms, ps, ll, ll_t, ms[:, -1], ps[:, :, -1]
 
 
 def _pad_ssm_blocks(ssm: SSM, xs: Array, block: int):
@@ -499,7 +529,7 @@ def filter_parallel_blocked(
     def body(carry, inp):
         m_in, p_in, ll = carry
         a_k, q_k, y_k, v_k = inp
-        ms, ps, ll_k, m_out, p_out = _filter_block_em(
+        ms, ps, ll_k, _, m_out, p_out = _filter_block_em(
             a_k, q_k, h, r_em, y_k, m_in, p_in, v_k
         )
         return (m_out, p_out, ll + ll_k), (ms, ps)
@@ -552,7 +582,7 @@ def log_likelihood_blocked(
     def body(carry, inp):
         m_in, p_in, ll = carry
         a_k, q_k, y_k, v_k = inp
-        _, _, ll_k, m_out, p_out = _filter_block_em(
+        _, _, ll_k, _, m_out, p_out = _filter_block_em(
             a_k, q_k, h, r_em, y_k, m_in, p_in, v_k
         )
         return (m_out, p_out, ll + ll_k), None
@@ -561,6 +591,46 @@ def log_likelihood_blocked(
             jnp.zeros((), dtype))
     (_, _, ll), _ = jax.lax.scan(body, init, (a_b, q_b, y_b, v_b))
     return ll
+
+
+@partial(jax.jit, static_argnames=("block",))
+@_highest_precision
+def log_likelihood_rows_blocked(
+    ssm: SSM, xs: Array, block: int = 1 << 17
+) -> Array:
+    """PER-STEP log-likelihood contributions [T] (one-step-ahead
+    predictive log-densities), O(block) peak memory like
+    `log_likelihood_blocked` (sum(rows) == its scalar).  With a
+    boundary-masked SSM (`leg_to_ssm(gap_mask=...)`, stacked
+    multi-series), segment-summing the rows by series id gives each
+    series' exact filter log-likelihood -- the f32-robust counterpart of
+    leg.log_likelihood_per_series."""
+    rank = ssm.h.shape[1]
+    obs = ssm.h.shape[0]
+    dtype = ssm.a.dtype
+    t = xs.shape[0]
+    block = min(block, 1 << max(t - 1, 1).bit_length())  # no giant pad
+    a, q, xs_p, valid, nb, pad = _pad_ssm_blocks(ssm, xs, block)
+
+    a_b = sb.to_em(a).reshape(rank, rank, nb, block).transpose(2, 0, 1, 3)
+    q_b = sb.to_em(q).reshape(rank, rank, nb, block).transpose(2, 0, 1, 3)
+    y_b = sb.vec_to_em(xs_p).reshape(obs, nb, block).transpose(1, 0, 2)
+    v_b = valid.reshape(nb, block)
+    h = jnp.broadcast_to(ssm.h[:, :, None], (obs, rank, block))
+    r_em = jnp.broadcast_to(ssm.r[:, :, None], (obs, obs, block))
+
+    @jax.checkpoint
+    def body(carry, inp):
+        m_in, p_in = carry
+        a_k, q_k, y_k, v_k = inp
+        _, _, _, ll_t, m_out, p_out = _filter_block_em(
+            a_k, q_k, h, r_em, y_k, m_in, p_in, v_k
+        )
+        return (m_out, p_out), ll_t
+
+    init = (jnp.zeros((rank,), dtype), jnp.eye(rank, dtype=dtype))
+    _, rows_b = jax.lax.scan(body, init, (a_b, q_b, y_b, v_b))
+    return rows_b.reshape(nb * block)[:t]
 
 
 @partial(jax.jit, static_argnames=("block",))

@@ -725,6 +725,21 @@ def log_likelihood(
 # ---------------------------------------------------------------------------
 
 
+def stack_series(series) -> Tuple[Array, Array, Array]:
+    """Host-side convenience: a list of ``(ts_b, xs_b)`` pairs (ragged
+    lengths fine, NO padding) -> the stacked ``(ts, xs, series_ids)``
+    arrays the `*_stacked` / `log_likelihood_per_series` entries take.
+    Contrast: the reference can only iterate series one at a time
+    (data_utils.py:73-75)."""
+    ts = jnp.concatenate([t for t, _ in series])
+    xs = jnp.concatenate([x for _, x in series])
+    ids = jnp.concatenate([
+        jnp.full((t.shape[0],), i, dtype=jnp.int32)
+        for i, (t, _) in enumerate(series)
+    ])
+    return ts, xs, ids
+
+
 def _series_gap_mask(series_ids: Array) -> Array:
     """Natural [n] gap mask from sorted series ids: gap i (between
     points i and i+1) is within-series iff ids match; the trailing

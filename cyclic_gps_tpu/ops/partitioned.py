@@ -171,7 +171,15 @@ def _collect_inverse(state: _SweepState):
             _flat(state.w0))
 
 
-_COLLECTORS = {"solve": _collect_solve, "inverse": _collect_inverse}
+def _collect_ldrows(state: _SweepState):
+    """Per-step per-chunk pivot log-determinants 2 log|D_j| ([C] per
+    step) -- the per-row decomposition of the sweep's logdet
+    contribution (see `logdet_rows`)."""
+    return 2.0 * sb.chol_log_diag_rows(state.dj)
+
+
+_COLLECTORS = {"solve": _collect_solve, "inverse": _collect_inverse,
+               "ldrows": _collect_ldrows}
 
 
 def _forward_sweep(R_cm, O_cm, y_cm, jitter, collect):
@@ -752,23 +760,10 @@ def _ld_rows_cm_impl(R_cm, O_cm, jitter):
     boundary system's own recursion (reduced row c IS natural row c*s)."""
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
-    zvec = jnp.zeros((d, c), R_cm.dtype)
-    state = _step(None, R_cm[1], O_cm[1], zvec, O_cm[0], jitter)
-    first = 2.0 * sb.chol_log_diag_rows(state.dj)  # [C], step j = 1
-    if s > 2:
-        def body(st, inp):
-            r_j, o_j = inp
-            new = _step(st, r_j, o_j, zvec, None, jitter)
-            return new, 2.0 * sb.chol_log_diag_rows(new.dj)
-
-        state, rest = jax.lax.scan(body, state, (R_cm[2:], O_cm[2:]))
-        ld_int = jnp.concatenate([first[None], rest], axis=0)  # [s-1, C]
-    else:
-        ld_int = first[None]
-    w1 = sb.solve_lower(state.dj, state.invd, sb.transpose(O_cm[s - 1]))
-    red_diag, red_off, _ = _reduced_system(
-        R_cm, jnp.zeros((s, d, c), R_cm.dtype), state, w1
-    )
+    zy = jnp.zeros((s, d, c), R_cm.dtype)
+    state, w1, ld_int = _forward_sweep(R_cm, O_cm, zy, jitter,
+                                       collect="ldrows")  # [s-1, C]
+    red_diag, red_off, _ = _reduced_system(R_cm, zy, state, w1)
     red_rows = logdet_rows(
         sb.from_em(red_diag), sb.from_em(red_off)[: c - 1], jitter=jitter
     )  # [C]

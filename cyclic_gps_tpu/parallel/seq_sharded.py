@@ -475,6 +475,36 @@ def _inverse_local(R, O, axis: str, jitter: float):
     return diag_loc, off_loc
 
 
+def _ld_rows_local(R, O, axis: str, jitter: float):
+    """Shard-local per-row pivot log-determinants [m] (natural local
+    order; psum of their segment sums == per-segment logdets for a
+    segment-block-diagonal system -- the multi-chip pt.logdet_rows).
+
+    Same level structure as `_solve_local`: elimination levels down with
+    a per-step "ldrows" collect, the replicated terminal's rows sliced
+    back to their owning shard, then each level's boundary rows are
+    interleaved back into natural local order on the walk up (reduced
+    row c of a level IS that level's natural row c*s)."""
+    d = R.shape[0]
+    yt = jnp.zeros((d, R.shape[-1]), dtype=R.dtype)
+    levels, R, O, yt, _ = _eliminate_levels(R, O, yt, axis, jitter,
+                                            collect="ldrows")
+    m_rem = R.shape[-1]
+    Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
+    Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
+    nrem = Rg.shape[-1]
+    rows_t = pt.logdet_rows(
+        sb.from_em(Rg), sb.from_em(Og)[: nrem - 1], jitter=jitter
+    )  # replicated [nrem]
+    rows = _local_slice_nat(rows_t, m_rem, axis)  # [m_rem]
+    for lv in reversed(levels):
+        rows_cm = jnp.concatenate(
+            [rows[None], lv["stacked"]], axis=0
+        )  # [s, c_loc]: j = 0 boundary rows + interior steps
+        rows = jnp.transpose(rows_cm, (1, 0)).reshape(-1)
+    return rows
+
+
 def solve(
     diag: Array, off: Array, y: Array, mesh: Mesh, axis: str = "seq",
     jitter: float = 0.0,
@@ -605,6 +635,46 @@ def _mahal_local_diff(R, O, yt, axis, jitter, backend="xla"):
     return jax.lax.psum(mh, axis), jax.lax.psum(ld, axis)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _rows_parts_diff(R, O, yt, axis, jitter, backend="xla"):
+    """Shard-local PER-ROW (mahal, logdet) decompositions
+    (mh_rows [m] = y_i . x_i with x = J^{-1} y; ld_rows [m] = pivot
+    log-dets): the per-row twin of `_mahal_parts_diff`.
+
+    Gradient validity: the analytic backward applies `_mahal_parts_bwd`'s
+    formula with per-row weights, which is the true adjoint ONLY when
+    (a) J is block-diagonal over contiguous row segments and (b) the
+    incoming per-row cotangents are constant within each segment --
+    i.e. the rows are consumed through segment sums + psum (the stacked
+    per-series likelihood).  Off-block cotangents at segment boundaries
+    are weight-ambiguous but annihilated upstream by the gap mask."""
+    x, _ = _solve_local(R, O, yt, axis, jitter)
+    return jnp.sum(yt * x, axis=0), _ld_rows_local(R, O, axis, jitter)
+
+
+def _rows_parts_fwd(R, O, yt, axis, jitter, backend="xla"):
+    return _rows_parts_diff(R, O, yt, axis, jitter, backend), (R, O, yt)
+
+
+def _rows_parts_bwd(axis, jitter, backend, res, cots):
+    R, O, yt = res
+    wm, wl = cots  # per-row weights (segment-constant by contract)
+    shifts = _halo_shifts(axis)
+    x, _ = _solve_local(R, O, yt, axis, jitter)          # [d, m] local
+    sig_diag, sig_off = _inverse_local(R, O, axis, jitter)
+    x_next = shifts.shift_up(x[:, None, :])[:, 0, :]     # x_{i+1} (halo)
+    xo = x[:, None, :] * x[None, :, :]
+    xo_off = x_next[:, None, :] * x[None, :, :]
+    g_R = wl[None, None, :] * sig_diag - wm[None, None, :] * xo
+    g_O = 2.0 * (wl[None, None, :] * sig_off
+                 - wm[None, None, :] * xo_off)
+    g_y = 2.0 * wm[None, :] * x
+    return g_R, g_O, g_y
+
+
+_rows_parts_diff.defvjp(_rows_parts_fwd, _rows_parts_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Sequence-sharded LEG log-likelihood (single series sharded along time).
 # ---------------------------------------------------------------------------
@@ -629,6 +699,8 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str,
     Also returns the local partial of log|Sigma^{-1}| = -sum_i log|Q1_i|
     over real gaps (Markov factorisation, leg.peg_precision_and_logdet):
     psum it -- no factorization of the bare prior precision needed.
+    The per-gap log|Q1| rows ([m], valid-masked) ride along for the
+    per-series decomposition (`log_likelihood_per_series`).
 
     ``gap_mask_loc`` (optional [m], the local slice of a natural gap
     mask): extra invalid gaps -- the sharded stacked multi-series entry
@@ -667,8 +739,8 @@ def _peg_precision_local(g: Array, ts_loc: Array, axis: str,
     diag_em = eye + shifts.shift_down(d_left) + d_right
 
     ldiag = jnp.log(jnp.diagonal(l1, axis1=0, axis2=1))  # [m, r]
-    sig_logdet_local = -2.0 * jnp.sum(ldiag * gap_valid[:, None])
-    return diag_em, off_em, sig_logdet_local
+    lq_rows = 2.0 * jnp.sum(ldiag, axis=1) * gap_valid  # per-gap log|Q1|
+    return diag_em, off_em, -jnp.sum(lq_rows), lq_rows
 
 
 def _posterior_system_local(params, ts_loc, xs_loc, axis: str,
@@ -686,7 +758,7 @@ def _posterior_system_local(params, ts_loc, xs_loc, axis: str,
     llt_logdet = num_obs * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
     v = x_llt_inv @ params.b
 
-    sig_diag_em, sig_off_em, sig_ld_loc = _peg_precision_local(
+    sig_diag_em, sig_off_em, sig_ld_loc, _ = _peg_precision_local(
         g, ts_loc, axis, gap_mask_loc
     )
     # closed-form log|Sigma^{-1}| (no second elimination pass)
@@ -785,6 +857,82 @@ def _build_loglik_stacked_fn(mesh, axis, backend="xla"):
             local,
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis, None), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def log_likelihood_per_series(
+    params: leg.LEGParams,
+    ts: Array,
+    xs: Array,
+    series_ids: Array,
+    num_series: int,
+    mesh: Mesh,
+    axis: str = "seq",
+    backend: str = "xla",
+) -> Array:
+    """Sequence-sharded PER-SERIES likelihood vector [num_series]: the
+    multi-chip `leg.log_likelihood_per_series`.  Every term decomposes
+    into shard-local per-row partials (per-point LLT terms, per-gap
+    log|Q1| rows, per-row pivot log-dets via `_ld_rows_local`, v_i . x_i
+    through the sharded solve), segment-summed locally and psummed.
+    Differentiable with the analytic per-row adjoint
+    (`_rows_parts_diff`: one sharded solve + one sharded selected
+    inversion)."""
+    _check_shard(ts.shape[0], mesh, axis)
+    mask = leg._series_gap_mask(series_ids).astype(ts.dtype)
+    fn = _cached_shard_fn(_build_perseries_fn, mesh, axis, num_series,
+                          backend)
+    return fn(params, ts, xs, series_ids.astype(jnp.int32), mask)
+
+
+def _per_series_local(params, ts_loc, xs_loc, ids_loc, mask_loc,
+                      axis: str, num_series: int, backend: str = "xla"):
+    """Shard-local per-series likelihood partials [num_series]
+    (psum outside -- the custom-VJP boundary contract of
+    `_rows_parts_diff` / `_mahal_parts_diff`)."""
+    llt = leg.lambda_lambda_t(params)
+    g = leg.g_matrix(params)
+
+    def seg(rows):
+        return jax.ops.segment_sum(rows, ids_loc,
+                                   num_segments=num_series)
+
+    x_llt_inv = jnp.linalg.solve(llt, xs_loc.T).T
+    llt_mahal_b = seg(jnp.sum(x_llt_inv * xs_loc, axis=1))
+    llt_logdet_b = seg(jnp.ones_like(ts_loc)) * jnp.linalg.slogdet(
+        2.0 * jnp.pi * llt
+    )[1]
+    v = x_llt_inv @ params.b
+
+    sig_diag_em, sig_off_em, _, lq_rows = _peg_precision_local(
+        g, ts_loc, axis, mask_loc
+    )
+    sig_logdet_b = -seg(lq_rows)
+
+    bt_llt_inv_b = params.b.T @ jnp.linalg.solve(llt, params.b)
+    k_diag_em = sig_diag_em + bt_llt_inv_b[:, :, None]
+    mh_rows, ld_rows = _rows_parts_diff(
+        k_diag_em, sig_off_em, sb.vec_to_em(v), axis, 0.0, backend
+    )
+    mahal_b = llt_mahal_b - seg(mh_rows)
+    logdet_b = llt_logdet_b + seg(ld_rows) - sig_logdet_b
+    return -0.5 * (mahal_b + logdet_b)
+
+
+def _build_perseries_fn(mesh, axis, num_series, backend="xla"):
+    def local(params, ts_loc, xs_loc, ids_loc, mask_loc):
+        parts = _per_series_local(params, ts_loc, xs_loc, ids_loc,
+                                  mask_loc, axis, num_series, backend)
+        return jax.lax.psum(parts, axis)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis, None), P(axis), P(axis)),
             out_specs=P(),
             check_vma=False,
         )

@@ -107,6 +107,43 @@ def nll_loss_stacked(params: leg.LEGParams, ts: Array, xs: Array,
     ) / nobs
 
 
+def nll_loss_kalman_stacked(params: leg.LEGParams, ts: Array, xs: Array,
+                            series_ids: Array) -> Array:
+    """Stacked multi-series NLL through the Kalman filter: the
+    f32-ROBUST counterpart of `nll_loss_stacked` (same conditioning
+    argument as `nll_loss_kalman`, per series).  The series-boundary
+    mask replaces boundary transitions with (A = 0, Q = I) so the filter
+    restarts from the stationary prior at each series
+    (kalman.leg_to_ssm(gap_mask=...)); above T = 2^17 the blocked
+    O(block)-memory filter keeps f32 training working at N_total = 1e7."""
+    from cyclic_gps_tpu.baselines import kalman
+
+    mask = leg._series_gap_mask(series_ids)
+    ssm = kalman.leg_to_ssm(params, ts, gap_mask=mask)
+    if xs.shape[0] > kalman.SMOOTHER_BLOCK:
+        ll = kalman.log_likelihood_blocked(ssm, xs)
+    else:
+        ll = kalman.filter_parallel(ssm, xs)[2]
+    return -ll / xs.size
+
+
+def log_likelihood_per_series_kalman(
+    params: leg.LEGParams, ts: Array, xs: Array, series_ids: Array,
+    num_series: int,
+) -> Array:
+    """PER-SERIES likelihood vector [num_series] through the Kalman
+    filter (f32-robust twin of leg.log_likelihood_per_series): per-step
+    one-step-ahead predictive log-densities of the boundary-masked SSM,
+    segment-summed by series.  O(block) memory at any N_total."""
+    from cyclic_gps_tpu.baselines import kalman
+
+    mask = leg._series_gap_mask(series_ids)
+    ssm = kalman.leg_to_ssm(params, ts, gap_mask=mask)
+    rows = kalman.log_likelihood_rows_blocked(ssm, xs)
+    return jax.ops.segment_sum(rows, series_ids,
+                               num_segments=num_series)
+
+
 LOSSES = {
     "cr": nll_loss,
     "kalman": nll_loss_kalman,

@@ -194,6 +194,16 @@ def test_make_predictions_batch_matches_per_series():
                                    rtol=1e-7, atol=1e-9)
 
 
+def test_stack_series_helper():
+    """leg.stack_series builds the (ts, xs, ids) arrays the stacked
+    entries consume (ragged, no padding)."""
+    parts, ts, xs, ids = _series((20, 31, 12), seed0=90)
+    ts2, xs2, ids2 = leg.stack_series(parts)
+    np.testing.assert_array_equal(np.asarray(ts2), np.asarray(ts))
+    np.testing.assert_array_equal(np.asarray(xs2), np.asarray(xs))
+    np.testing.assert_array_equal(np.asarray(ids2), np.asarray(ids))
+
+
 @pytest.mark.parametrize("lengths", [(100, 37, 75, 44), (13, 8, 17)])
 def test_per_series_likelihood_vector(lengths):
     """log_likelihood_per_series == the vector of individual per-series
@@ -239,6 +249,45 @@ def test_per_series_weighted_gradient():
     for a, b in zip(jax.tree.leaves(g_vec), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_stacked_kalman_matches_precision():
+    """Boundary-masked SSM (A = 0, Q = I at series starts): the Kalman
+    filter restarts from the stationary prior per series exactly --
+    stacked filter NLL == precision-form stacked NLL (values AND
+    parameter gradient, f64), and the per-step rows segment-sum to each
+    series' own sequential-filter likelihood."""
+    from cyclic_gps_tpu.baselines import kalman
+    from cyclic_gps_tpu.train import loop as train_loop
+
+    lengths = (60, 45, 38)
+    params = leg.init_params(jax.random.key(14), rank=3, obs_dim=2,
+                             dtype=jnp.float64)
+    parts, ts, xs, ids = _series(lengths, seed0=70)
+
+    nll_k = float(train_loop.nll_loss_kalman_stacked(params, ts, xs, ids))
+    nll_p = float(train_loop.nll_loss_stacked(params, ts, xs, ids))
+    np.testing.assert_allclose(nll_k, nll_p, rtol=1e-9)
+
+    ll_b = train_loop.log_likelihood_per_series_kalman(
+        params, ts, xs, ids, num_series=len(lengths)
+    )
+    ll_ref = np.array([
+        float(kalman.log_likelihood_sequential(
+            kalman.leg_to_ssm(params, t), x))
+        for t, x in parts
+    ])
+    np.testing.assert_allclose(np.asarray(ll_b), ll_ref, rtol=1e-9)
+
+    g_k = jax.grad(
+        lambda p: train_loop.nll_loss_kalman_stacked(p, ts, xs, ids)
+    )(params)
+    g_p = jax.grad(
+        lambda p: train_loop.nll_loss_stacked(p, ts, xs, ids)
+    )(params)
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
 
 
 def test_logdet_per_segment_engine():

@@ -224,6 +224,50 @@ def test_seq_sharded_stacked_matches_single_device():
                                rtol=1e-7, atol=1e-10)
 
 
+def test_seq_sharded_per_series_matches_single_device():
+    """Multi-chip per-series likelihood vector == the single-device
+    leg.log_likelihood_per_series (itself == individual likelihoods,
+    tests/test_batched): values and the WEIGHTED parameter gradient
+    (exercises the sharded per-row analytic adjoint _rows_parts_diff)."""
+    lengths = (100, 37, 75, 44)
+    obs = 2
+    parts = [
+        generate_data(n, obs, dtype=jnp.float64, spacing="irregular",
+                      seed=80 + i)
+        for i, n in enumerate(lengths)
+    ]
+    ts = jnp.concatenate([p[0] for p in parts])
+    xs = jnp.concatenate([p[1] for p in parts])
+    ids = jnp.concatenate([
+        jnp.full((n,), i, dtype=jnp.int32) for i, n in enumerate(lengths)
+    ])
+    params = leg.init_params(jax.random.key(8), rank=3, obs_dim=obs,
+                             dtype=jnp.float64)
+    mesh = seq_sharded.make_seq_mesh(8)
+
+    ll_s = seq_sharded.log_likelihood_per_series(
+        params, ts, xs, ids, len(lengths), mesh
+    )
+    ll_r = leg.log_likelihood_per_series(params, ts, xs, ids,
+                                         num_series=len(lengths))
+    np.testing.assert_allclose(np.asarray(ll_s), np.asarray(ll_r),
+                               rtol=1e-10)
+
+    c = jnp.asarray([0.4, -1.2, 2.0, 0.9])
+    g_s = jax.grad(
+        lambda p: jnp.sum(c * seq_sharded.log_likelihood_per_series(
+            p, ts, xs, ids, len(lengths), mesh))
+    )(params)
+    g_r = jax.grad(
+        lambda p: jnp.sum(c * leg.log_likelihood_per_series(
+            p, ts, xs, ids, num_series=len(lengths)))
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+
 def test_seq_sharded_rejects_bad_sizes():
     diag, off, v = _well_conditioned(96, 2)  # not a power of two
     mesh = seq_sharded.make_seq_mesh(8)
