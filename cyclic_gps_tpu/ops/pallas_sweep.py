@@ -63,12 +63,14 @@ def _mm(a, b, ta=False, tb=False):
 
 def _chol(a):
     """Lower Cholesky of [d, d, C]; returns (L, inv_diag [d, 1, C],
-    sum log diag -> scalar)."""
+    PER-LANE half log-det sum log diag L [1, 1, C] -- sum it for the
+    scalar, or stream it per step for the per-row decomposition
+    (partitioned.logdet_rows))."""
     d = a.shape[0]
     x = a
     L = jnp.zeros_like(a)
     invd = jnp.zeros_like(a[:, 0:1, :])
-    ldsum = jnp.zeros((), dtype=a.dtype)
+    ld = jnp.zeros_like(a[0:1, 0:1, :])  # [1, 1, C]
     for j in range(d):
         piv = x[j:j + 1, j:j + 1, :]  # [1, 1, C]
         piv_inv = jax.lax.rsqrt(piv)
@@ -79,10 +81,10 @@ def _chol(a):
         onehot_col = jnp.swapaxes(onehot_row, 0, 1)  # [1, d, 1]
         L = L + onehot_col * col
         invd = invd + onehot_row * piv_inv
-        ldsum = ldsum + 0.5 * jnp.sum(jnp.log(piv))
+        ld = ld + 0.5 * jnp.log(piv)
         if j + 1 < d:
             x = x - col * _swap(col)
-    return L, invd, ldsum
+    return L, invd, ld
 
 
 def _solve_lower(L, invd, y):
@@ -141,7 +143,7 @@ def _pad_chunks(R_cm, O_cm, y_cm, ct):
 
 def _sweep_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
                   acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref, invdl_ref,
-                  stats_ref,
+                  stats_ref, lq_ref,
                   cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s):
     j = pl.program_id(1)
     d = r_ref.shape[1]
@@ -161,9 +163,10 @@ def _sweep_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
         acc00_s[:] = _mm(w0, w0, ta=True)
         accy0_s[:] = _mm(w0, w, ta=True)
         stats_s[0, 0] = jnp.sum(w * w)
-        stats_s[0, 1] = ld
+        stats_s[0, 1] = jnp.sum(ld)
         dl_ref[:] = D
         invdl_ref[:] = invd
+        lq_ref[0, 0] = 2.0 * ld[0, 0]  # per-row pivot log-det
 
     @pl.when(j > 0)
     def _():
@@ -178,9 +181,10 @@ def _sweep_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
         acc00_s[:] = acc00_s[:] + _mm(w0, w0, ta=True)
         accy0_s[:] = accy0_s[:] + _mm(w0, w, ta=True)
         stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w * w)
-        stats_s[0, 1] = stats_s[0, 1] + ld
+        stats_s[0, 1] = stats_s[0, 1] + jnp.sum(ld)
         dl_ref[:] = D
         invdl_ref[:] = invd
+        lq_ref[0, 0] = 2.0 * ld[0, 0]
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -228,9 +232,12 @@ def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
     partitioned._forward_sweep, collect=None).
 
     Returns (acc00 [d,d,C], accy0 [d,C], w0_last [d,d,C], w_last [d,C],
-    d_last [d,d,C], invd_last [d,C], mh, ld) -- everything the reduced
-    system and W1 assembly need.  ``jitter`` is added to the pivot
-    blocks' diagonals exactly as in the XLA path.
+    d_last [d,d,C], invd_last [d,C], mh, ld, ld_rows [s-1, C]) --
+    everything the reduced system and W1 assembly need, plus the
+    PER-ROW pivot log-dets of steps j = 1..s-1 (kernel-tile padding
+    chunks excluded; partitioned.logdet_rows_cm's pallas backend).
+    ``jitter`` is added to the pivot blocks' diagonals exactly as in
+    the XLA path.
     """
     R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm,
                                       _ct_for(R_cm.shape[1]))
@@ -271,9 +278,12 @@ def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nct, 2), lambda t, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ct), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[mat, vec, mat, vec, mat, vec,
-                   jax.ShapeDtypeStruct((nct, 2), R_cm.dtype)],
+                   jax.ShapeDtypeStruct((nct, 2), R_cm.dtype),
+                   jax.ShapeDtypeStruct((s - 1, 1, cpad), R_cm.dtype)],
         scratch_shapes=[
             pltpu.VMEM((d, d, ct), R_cm.dtype),
             pltpu.VMEM((d, d, ct), R_cm.dtype),
@@ -283,12 +293,12 @@ def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
             pltpu.SMEM((1, 2), R_cm.dtype),
         ],
     )(jit_arr, R_cm, O_cm, O_cm, y3)
-    acc00, accy0, w0l, wl, dl, invdl, stats = outs
+    acc00, accy0, w0l, wl, dl, invdl, stats, lq = outs
     ld = jnp.sum(stats[:, 1]) - _pad_jitter_ld(s, d, cpad - c, jitter,
                                                R_cm.dtype)
     return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
             dl[:, :, :c], invdl[:, 0, :c],
-            jnp.sum(stats[:, 0]), ld)
+            jnp.sum(stats[:, 0]), ld, lq[:, 0, :c])
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +332,7 @@ def _sweep_collect_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
         acc00_s[:] = _mm(w0, w0, ta=True)
         accy0_s[:] = _mm(w0, w, ta=True)
         stats_s[0, 0] = jnp.sum(w * w)
-        stats_s[0, 1] = ld
+        stats_s[0, 1] = jnp.sum(ld)
         dl_ref[:] = D
         invdl_ref[:] = invd
         hc_ref[0] = _solve_lower_t(D, invd, _swap(cnew))
@@ -343,7 +353,7 @@ def _sweep_collect_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
         acc00_s[:] = acc00_s[:] + _mm(w0, w0, ta=True)
         accy0_s[:] = accy0_s[:] + _mm(w0, w, ta=True)
         stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w * w)
-        stats_s[0, 1] = stats_s[0, 1] + ld
+        stats_s[0, 1] = stats_s[0, 1] + jnp.sum(ld)
         dl_ref[:] = D
         invdl_ref[:] = invd
         hc_ref[0] = _solve_lower_t(D, invd, _swap(cnew))

@@ -313,7 +313,7 @@ def _mahal_cm_primal(R_cm, O_cm, y_cm, jitter, backend):
         from cyclic_gps_tpu.ops.pallas_sweep import forward_sweep_pallas
 
         (acc00, accy0, w0l, wl, dl, invdl, mh,
-         ld) = forward_sweep_pallas(R_cm, O_cm, y_cm, jitter=jitter)
+         ld, _) = forward_sweep_pallas(R_cm, O_cm, y_cm, jitter=jitter)
         w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
         state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
     else:
@@ -754,15 +754,28 @@ def _ld_rows_seq(diag, off, jitter):
     return lds
 
 
-def _ld_rows_cm_impl(R_cm, O_cm, jitter):
+def _ld_rows_cm_impl(R_cm, O_cm, jitter, backend="xla"):
     """Chunk-major per-row pivot log-dets [s, C]: rows j >= 1 from the
     interior elimination sweep, row j = 0 of chunk c from the reduced
-    boundary system's own recursion (reduced row c IS natural row c*s)."""
+    boundary system's own recursion (reduced row c IS natural row c*s).
+    ``backend="pallas"`` runs the large first level as the fused sweep
+    kernel (its per-step lq lane output); the recursion tail stays on
+    the XLA scan, mirroring `_mahal_cm_primal`."""
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
     zy = jnp.zeros((s, d, c), R_cm.dtype)
-    state, w1, ld_int = _forward_sweep(R_cm, O_cm, zy, jitter,
-                                       collect="ldrows")  # [s-1, C]
+    if backend == "pallas":
+        from cyclic_gps_tpu.ops.pallas_sweep import forward_sweep_pallas
+
+        (acc00, accy0, w0l, wl, dl, invdl, _, _,
+         ld_int) = forward_sweep_pallas(R_cm, O_cm, zy, jitter=jitter)
+        zero = jnp.zeros((), R_cm.dtype)
+        state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0,
+                            zero, zero)
+        w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+    else:
+        state, w1, ld_int = _forward_sweep(R_cm, O_cm, zy, jitter,
+                                           collect="ldrows")  # [s-1, C]
     red_diag, red_off, _ = _reduced_system(R_cm, zy, state, w1)
     red_rows = logdet_rows(
         sb.from_em(red_diag), sb.from_em(red_off)[: c - 1], jitter=jitter
@@ -788,11 +801,11 @@ def logdet_rows(diag: Array, off: Array, s: Optional[int] = None,
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _ld_rows_cm(R_cm, O_cm, jitter, backend):
-    return _ld_rows_cm_impl(R_cm, O_cm, jitter)
+    return _ld_rows_cm_impl(R_cm, O_cm, jitter, backend)
 
 
 def _ld_rows_cm_fwd(R_cm, O_cm, jitter, backend):
-    return _ld_rows_cm_impl(R_cm, O_cm, jitter), (R_cm, O_cm)
+    return _ld_rows_cm_impl(R_cm, O_cm, jitter, backend), (R_cm, O_cm)
 
 
 def _ld_rows_cm_bwd(jitter, backend, res, w_cm):
@@ -825,9 +838,10 @@ _ld_rows_cm.defvjp(_ld_rows_cm_fwd, _ld_rows_cm_bwd)
 def logdet_rows_cm(R_cm: Array, O_cm: Array, jitter: float = 0.0,
                    backend: str = "auto") -> Array:
     """Per-row pivot log-dets [s, C] on ALREADY chunk-major inputs.
-    The forward sweep is the XLA scan; ``backend`` selects the engine
-    for the analytic adjoint's selected inversion (Pallas on TPU).
-    Gradient validity: see `_ld_rows_cm_bwd` (segment-sum consumers)."""
+    ``backend`` selects the engine for BOTH the forward sweep (the fused
+    Pallas kernel's per-step lq lane output on TPU) and the analytic
+    adjoint's selected inversion.  Gradient validity: see
+    `_ld_rows_cm_bwd` (segment-sum consumers)."""
     return _ld_rows_cm(R_cm, O_cm, jitter, resolve_backend(backend))
 
 

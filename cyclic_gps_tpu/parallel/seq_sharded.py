@@ -152,7 +152,8 @@ def _partitioned_fused_local(R, O, yt, axis: str, jitter: float,
             from cyclic_gps_tpu.ops.pallas_sweep import forward_sweep_pallas
 
             (acc00, accy0, w0l, wl, dl, invdl, mh_k,
-             ld_k) = forward_sweep_pallas(R_cm, O_cm, y_cm, jitter=jitter)
+             ld_k, _) = forward_sweep_pallas(R_cm, O_cm, y_cm,
+                                             jitter=jitter)
             state = pt._SweepState(None, w0l, wl, dl, invdl, acc00,
                                    accy0, mh_k, ld_k)
             w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))

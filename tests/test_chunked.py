@@ -108,6 +108,18 @@ def test_pallas_sweep_matches_scan(jitter):
                                np.asarray(state.w0), atol=1e-4)
     np.testing.assert_allclose(float(outs[6]), float(state.mh), rtol=1e-5)
     np.testing.assert_allclose(float(outs[7]), float(state.ld), rtol=1e-5)
+    # per-row pivot log-dets (the kernel's lq lane output) == the XLA
+    # "ldrows" collector, and the full pallas-backend rows entry == xla
+    _, _, ld_rows_x = pt._forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                        collect="ldrows")
+    np.testing.assert_allclose(np.asarray(outs[8]),
+                               np.asarray(ld_rows_x), atol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        rows_p = pt.logdet_rows_cm(R_cm, O_cm, jitter=jitter,
+                                   backend="pallas")
+    rows_x = pt.logdet_rows_cm(R_cm, O_cm, jitter=jitter, backend="xla")
+    np.testing.assert_allclose(np.asarray(rows_p), np.asarray(rows_x),
+                               atol=1e-5)
 
 
 @pytest.mark.parametrize("n", [256, 250])  # 250: chunk-pad + kernel-pad
