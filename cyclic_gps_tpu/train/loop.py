@@ -259,7 +259,14 @@ def fit(
     return FitResult(params=params, losses=losses)
 
 
-@partial(jax.jit, static_argnames=("optimizer", "regular"))
+STACKED_LOSSES = {
+    "cr": nll_loss_stacked,  # precision-form (fast path)
+    "kalman": lambda p, t, x, ids, regular=False:
+        nll_loss_kalman_stacked(p, t, x, ids),  # f32-robust filter form
+}
+
+
+@partial(jax.jit, static_argnames=("optimizer", "regular", "loss"))
 def train_step_stacked(
     params: leg.LEGParams,
     opt_state,
@@ -268,10 +275,13 @@ def train_step_stacked(
     series_ids: Array,
     optimizer: optax.GradientTransformation,
     regular: bool = False,
+    loss: str = "cr",
 ):
     """One gradient step on a stacked multi-series batch."""
+    loss_impl = STACKED_LOSSES[loss]
+
     def loss_fn(p):
-        return nll_loss_stacked(p, ts, xs, series_ids, regular=regular)
+        return loss_impl(p, ts, xs, series_ids, regular=regular)
 
     value, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = optimizer.update(
@@ -293,18 +303,23 @@ def fit_stacked(
     log_every: int = 100,
     callback: Optional[Callable[[int, float], None]] = None,
     regular: bool = False,
+    loss: str = "cr",
 ) -> FitResult:
     """Full-batch training on B stacked series (shared parameters, one
     block-diagonal solve per step -- see leg.log_likelihood_stacked).
     Equal-length batches: flatten [B, n] / [B, n, obs] and pass
     consecutive ids (or use leg.log_likelihood_batch's id construction).
+
+    ``loss``: "cr" (precision form, the fast path) or "kalman" (the
+    boundary-masked filter, f32-robust for fits drifting into very
+    smooth regimes -- see `nll_loss_kalman_stacked`).
     """
     opt = make_optimizer(optimizer, lr)
     opt_state = opt.init(params)
     losses = []
     for step in range(num_steps):
         params, opt_state, loss_v = train_step_stacked(
-            params, opt_state, ts, xs, series_ids, opt, regular
+            params, opt_state, ts, xs, series_ids, opt, regular, loss
         )
         loss_f = float(loss_v)
         losses.append(loss_f)

@@ -289,6 +289,14 @@ def test_stacked_kalman_matches_precision():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-9)
 
+    # the filter-form loss plugs into the stacked train step
+    opt = train_loop.make_optimizer("adam", 1e-2,
+                                    reduce_on_plateau=False)
+    st = opt.init(params)
+    _, _, v = train_loop.train_step_stacked(params, st, ts, xs, ids,
+                                            opt, False, "kalman")
+    np.testing.assert_allclose(float(v), nll_k, rtol=1e-9)
+
 
 def test_logdet_per_segment_engine():
     """pt.logdet_rows / logdet_per_segment on a synthetic block-diagonal
