@@ -584,6 +584,110 @@ def _k_gap_parts_pallas_bwd(s, res, cots):
 _k_gap_parts_pallas.defvjp(_k_gap_parts_pallas_fwd, _k_gap_parts_pallas_bwd)
 
 
+# ---------------------------------------------------------------------------
+# MEGA-FUSED likelihood core: gaps -> (K-mahal, K-logdet, prior logdet)
+# in ONE kernel pass (ops/expm_pallas.gap_mahal_sweep_pallas).  Even
+# with the fused K-system emission, the irregular likelihood paid
+# write-(K, off) + read-(K, off) = 4 r^2 N floats of HBM round trip
+# between the emission kernel and the elimination sweep; this core
+# constructs each row's blocks in VMEM and eliminates them in place --
+# HBM traffic is read-dt + read-v only.  Forward-only fusion: the
+# backward replays the two-kernel route, whose analytic adjoints
+# (mahal: one solve + one selected inversion; emission: XLA replay)
+# already exist.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gap_mahal_fused(g, boost, ts, gap_mask, v_cm, s):
+    """(v^T K^{-1} v, log|K|, log|Sigma^{-1}|) straight from the gap
+    widths (irregular grid, dense G, TPU f32).  ``v_cm`` [s, r, C] at
+    the TRUE chunk count C = ceil(n / s)."""
+    from cyclic_gps_tpu.ops.expm_pallas import (gap_mahal_sweep_pallas,
+                                                transition_and_noise_pallas)
+
+    rank = g.shape[0]
+    dtype = g.dtype
+    n = ts.shape[0]
+    c = -(-n // s)
+    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype,
+                                                    gap_mask)
+    # chunk-crossing d_left row (see _k_gap_parts_pallas)
+    e_w, q_w = transition_and_noise_pallas(g, diffs[s - 1])
+    _, dl_w, _, _ = _q1_terms(e_w, q_w)
+    dl_w = dl_w * gap_valid[s - 1][None, None, :]
+    wrap = jnp.concatenate(
+        [jnp.zeros((rank, rank, 1), dtype=dtype), dl_w[:, :, :-1]], axis=-1
+    )
+    (acc00, accy0, w0l, wl, dl, invdl, mh, ld, lq_sum, k0,
+     olast) = gap_mahal_sweep_pallas(g, boost, diffs, gap_valid, is_real,
+                                     wrap, v_cm)
+    state = pt._SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
+    w1 = sb.solve_lower(dl, invdl, sb.transpose(olast))
+    red_diag, red_off, red_rhs = pt._reduced_system(
+        k0[None], v_cm[:1], state, w1
+    )
+    red_mh, red_ld = pt._mahal_and_logdet_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs), None, 0.0,
+    )
+    return mh + red_mh, 2.0 * ld + red_ld, -lq_sum
+
+
+def _gap_mahal_fused_fwd(g, boost, ts, gap_mask, v_cm, s):
+    return (_gap_mahal_fused(g, boost, ts, gap_mask, v_cm, s),
+            (g, boost, ts, gap_mask, v_cm))
+
+
+def _gap_mahal_fused_bwd(s, res, cots):
+    """Replay the two-kernel route (fused K emission -> chunk-major
+    mahal), whose custom VJPs are analytic: the solver part is one solve
+    + one selected inversion, the emission part the XLA adjoint."""
+    g, boost, ts, gap_mask, v_cm = res
+    c = v_cm.shape[-1]
+
+    def ref(g_, boost_, ts_, mask_, v_):
+        k_cm, off_cm, lq_cm = _k_gap_parts_pallas(g_, boost_, ts_, mask_,
+                                                  s)
+        cw = k_cm.shape[-1]  # kernel-tile padded width
+        if cw != c:
+            v_ = jnp.concatenate(
+                [v_, jnp.zeros(v_.shape[:2] + (cw - c,), v_.dtype)],
+                axis=-1,
+            )
+        mh, ld = pt.mahal_and_logdet_cm(k_cm, off_cm, v_, backend="auto")
+        return mh, ld, -jnp.sum(lq_cm)
+
+    _, vjp = jax.vjp(ref, g, boost, ts, gap_mask, v_cm)
+    return vjp(cots)
+
+
+_gap_mahal_fused.defvjp(_gap_mahal_fused_fwd, _gap_mahal_fused_bwd)
+
+
+def _v_chunk_major(params, xs, llt, s: int, c: int, dtype):
+    """v = (LLT^{-1} x) B in chunk-major [s, r, C] (zero padding rows)."""
+    n = xs.shape[0]
+    x_llt_inv = jnp.linalg.solve(llt, xs.T).T
+    v = x_llt_inv @ params.b
+    v_pad = jnp.concatenate(
+        [v, jnp.zeros((c * s - n, params.rank), dtype=dtype)], axis=0
+    )
+    return jnp.transpose(v_pad.reshape(c, s, params.rank), (1, 2, 0))
+
+
+def _use_gap_fused(params, regular: bool, backend: str, n: int,
+                   s: int) -> bool:
+    """Gate for the mega-fused likelihood kernel: irregular grid, dense
+    generator, f32, a Pallas-capable backend, and a large-N system."""
+    return (
+        not regular
+        and params.n_params.dtype == jnp.float32
+        and n >= max(pt._TERMINAL, 2 * s)
+        and pt.resolve_backend(backend) == "pallas"
+    )
+
+
 @_highest_precision
 def _k_system_chunked(params, ts: Array, xs: Array, s: int,
                       regular: bool, gap_fn=None, gap_mask=None,
@@ -681,7 +785,18 @@ def log_likelihood(
     )[1]
 
     s = pt.default_chunk_len(num_obs)
-    if num_obs >= max(pt._TERMINAL, 2 * s):
+    if _use_gap_fused(params, regular, backend, num_obs, s):
+        # mega-fused path: each row's precision blocks are constructed
+        # in VMEM from the gap widths and eliminated in place -- no
+        # materialized K at all (read dt + read v of HBM traffic)
+        c = -(-num_obs // s)
+        boost = params.b.T @ jnp.linalg.solve(llt, params.b)
+        v_cm = _v_chunk_major(params, xs, llt, s, c, llt.dtype)
+        mask = jnp.ones((num_obs,), dtype=llt.dtype)
+        k_mahal, k_logdet, sig_inv_logdet = _gap_mahal_fused(
+            g, boost, ts, mask, v_cm, s
+        )
+    elif num_obs >= max(pt._TERMINAL, 2 * s):
         # large-N path: emit K directly in the partitioned engine's
         # chunk-major layout (no relayout passes)
         k_cm, o_cm, v_cm, sig_inv_logdet = _k_system_chunked(
@@ -801,12 +916,24 @@ def log_likelihood_stacked(
     llt_logdet = num_obs * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
 
     s = pt.default_chunk_len(num_obs)
-    k_cm, o_cm, v_cm, sig_inv_logdet = _k_system_chunked(
-        params, ts, xs, s, regular, gap_mask=_series_gap_mask(series_ids)
-    )
-    k_mahal, k_logdet = _mahal_logdet_cm_any_n(
-        k_cm, o_cm, v_cm, num_obs, params.rank, backend
-    )
+    if _use_gap_fused(params, regular, backend, num_obs, s):
+        # mega-fused path: the series-boundary mask rides the kernel's
+        # gap_valid input (K never materializes)
+        c = -(-num_obs // s)
+        boost = params.b.T @ jnp.linalg.solve(llt, params.b)
+        v_cm = _v_chunk_major(params, xs, llt, s, c, llt.dtype)
+        mask = _series_gap_mask(series_ids).astype(llt.dtype)
+        k_mahal, k_logdet, sig_inv_logdet = _gap_mahal_fused(
+            g_matrix(params), boost, ts, mask, v_cm, s
+        )
+    else:
+        k_cm, o_cm, v_cm, sig_inv_logdet = _k_system_chunked(
+            params, ts, xs, s, regular,
+            gap_mask=_series_gap_mask(series_ids)
+        )
+        k_mahal, k_logdet = _mahal_logdet_cm_any_n(
+            k_cm, o_cm, v_cm, num_obs, params.rank, backend
+        )
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_inv_logdet
     return -0.5 * (mahal + logdet)
@@ -943,11 +1070,13 @@ def log_likelihood_per_series(
         ld_rows = pt.logdet_rows(diag, off)[:n]
         v_nat = v[:n]
     else:
-        x_pad, _ = pt.solve_cm(k_cm, o_cm, v_cm, backend=backend)
+        # fused: ONE sweep yields x AND the per-row pivot log-dets
+        # (where separate solve_cm + logdet_rows_cm cost two), and the
+        # shared analytic adjoint runs one selected inversion total
+        x_pad, rows_cm = pt.solve_and_ld_rows_cm(k_cm, o_cm, v_cm,
+                                                 backend=backend)
         x = x_pad[:n]
-        ld_rows = _cm_rows_to_natural(
-            pt.logdet_rows_cm(k_cm, o_cm, backend=backend), n
-        )
+        ld_rows = _cm_rows_to_natural(rows_cm, n)
         v_nat = jnp.moveaxis(v_cm, -1, 0).reshape(-1, rank)[:n]
     k_mahal_b = jax.ops.segment_sum(
         jnp.sum(v_nat * x, axis=1), series_ids, num_segments=num_series

@@ -396,3 +396,243 @@ def k_system_pallas(g: Array, boost: Array, dt_cm: Array, gv_cm: Array,
       dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :], wrap_em)
     k_cm, off_cm, lq = outs
     return k_cm, off_cm, lq[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# MEGA-FUSED likelihood sweep (round 3): gaps -> fused (mahal, logdet)
+# in ONE kernel pass.  Even after the K-system kernel hit its output
+# floor, the irregular likelihood still paid write-(K, off) [2 r^2 N]
+# plus the elimination sweep's read of the same 2 r^2 N: ~400 MB of HBM
+# round trip at N = 1e6 r = 5 that exists only to hand blocks from one
+# kernel to the next.  This kernel fuses the two: each (chunk-tile,
+# step) cell CONSTRUCTS row j's precision blocks from the gap widths in
+# VMEM (_tn_math + push-through, exactly _ksys_kernel) and immediately
+# ELIMINATES them (exactly pallas_sweep._sweep_kernel), so
+#
+#   HBM traffic = read dt [N] + read v [r N] + write chunk-boundary
+#                 rows (k0, o_last) [2 r^2 C = 2 r^2 N / s].
+#
+# The d_left neighbour carry and the elimination carry ride the same
+# VMEM scratch pattern; gap 0 of each chunk is constructed inside the
+# j = 0 branch (its row-0 K block streams OUT for the reduced boundary
+# system instead of streaming row blocks IN).  Forward-only: the
+# likelihood's analytic backward re-emits K via `k_system_pallas` and
+# runs the standard solve + selected inversion (models/leg.py).
+# ---------------------------------------------------------------------------
+
+
+def _gap_row_terms(half, augn, smax, g_blk, sym_blk, dt, gv):
+    """Gap terms for one step: dt [nt] -> (d_left, d_right, off, lq)
+    with the validity mask applied (invalid gaps contribute exact
+    zeros).  lq is the per-tile SUM of the valid-masked per-gap
+    log|Q1| (a scalar)."""
+    from cyclic_gps_tpu.ops.pallas_sweep import (_solve_lower,
+                                                 _solve_lower_t)
+
+    e, q = _tn_math(half, augn, smax, g_blk, sym_blk, dt)
+    eye = g_blk * 0.0 + jnp.eye(g_blk.shape[0], dtype=g_blk.dtype)[:, :, None]
+    gv3 = gv[None, None, :]
+    L, invd, ldl = _chol_lanes(q)
+    q1_inv_e = _solve_lower_t(L, invd, _solve_lower(L, invd, e))
+    li = _solve_lower(L, invd, eye)
+    d_left = (_mm(li, li, ta=True) - eye) * gv3
+    d_right = _mm(e, q1_inv_e, ta=True) * gv3
+    off = -q1_inv_e * gv3
+    lq = jnp.sum(2.0 * ldl[0] * gv)
+    return d_left, d_right, off, lq
+
+
+def _gap_sweep_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref,
+                      boost_ref, dt_ref, gv_ref, real_ref,
+                      dt0_ref, gv0_ref, real0_ref, wrap_ref, y_ref,
+                      acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref,
+                      invdl_ref, stats_ref, k0_ref, olast_ref,
+                      cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s,
+                      dleft_s, o0_s):
+    """One (chunk-tile, step) cell: construct row j+1's K blocks from
+    gap j+1 (plus gap 0 and the row-0 boundary block inside the j = 0
+    branch) and run the elimination step on them.  stats_s rows:
+    (mahal, elimination half-logdet, valid-masked sum log|Q1|)."""
+    from cyclic_gps_tpu.ops.pallas_sweep import (_chol, _mm as _mmk,
+                                                 _solve_lower, _swap)
+
+    j = pl.program_id(1)
+    r = g_ref.shape[0]
+    dtype = g_ref.dtype
+    eye = g_ref[:] * 0.0 + jnp.eye(r, dtype=dtype)[:, :, None]
+    boost3 = boost_ref[:]
+    half, augn, smax = half_ref[0, 0], augn_ref[0, 0], smax_ref[0, 0]
+
+    # gap j+1 terms (every step); row j+1's K diag needs gap j's d_left
+    # from the scratch carry
+    d_left_n, d_right, off_n, lq_n = _gap_row_terms(
+        half, augn, smax, g_ref[:], sym_ref[:], dt_ref[0, 0], gv_ref[0, 0]
+    )
+
+    @pl.when(j == 0)
+    def _():
+        # gap 0: seeds the d_left carry, the left coupling o0, and the
+        # chunk-boundary row 0 that streams OUT to the reduced system
+        d_left0, d_right0, off0, lq0 = _gap_row_terms(
+            half, augn, smax, g_ref[:], sym_ref[:], dt0_ref[0, 0],
+            gv0_ref[0, 0]
+        )
+        real0_3 = real0_ref[0, 0][None, None, :]
+        k0_ref[:] = eye + wrap_ref[:] + d_right0 + boost3 * real0_3
+        dleft_s[:] = d_left0
+        o0_s[:] = off0
+        stats_s[0, 2] = lq0
+
+    real3 = real_ref[0, 0][None, None, :]
+    r_j = eye + dleft_s[:] + d_right + boost3 * real3
+    o_j = off_n
+    y_j = y_ref[0]  # [r, 1, nt]
+
+    @pl.when(j == 0)
+    def _():
+        D, invd, ld = _chol(r_j)
+        w0 = _solve_lower(D, invd, o0_s[:])
+        w = _solve_lower(D, invd, y_j)
+        cprev_s[:] = _swap(_solve_lower(D, invd, _swap(o_j)))
+        w0_s[:] = w0
+        w_s[:] = w
+        acc00_s[:] = _mmk(w0, w0, ta=True)
+        accy0_s[:] = _mmk(w0, w, ta=True)
+        stats_s[0, 0] = jnp.sum(w * w)
+        stats_s[0, 1] = jnp.sum(ld)
+        stats_s[0, 2] = stats_s[0, 2] + lq_n
+        dl_ref[:] = D
+        invdl_ref[:] = invd
+
+    @pl.when(j > 0)
+    def _():
+        cp = cprev_s[:]
+        p = r_j - _mmk(cp, cp, tb=True)
+        D, invd, ld = _chol(p)
+        w0 = -_solve_lower(D, invd, _mmk(cp, w0_s[:]))
+        w = _solve_lower(D, invd, y_j - _mmk(cp, w_s[:]))
+        cprev_s[:] = _swap(_solve_lower(D, invd, _swap(o_j)))
+        w0_s[:] = w0
+        w_s[:] = w
+        acc00_s[:] = acc00_s[:] + _mmk(w0, w0, ta=True)
+        accy0_s[:] = accy0_s[:] + _mmk(w0, w, ta=True)
+        stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w * w)
+        stats_s[0, 1] = stats_s[0, 1] + jnp.sum(ld)
+        stats_s[0, 2] = stats_s[0, 2] + lq_n
+        dl_ref[:] = D
+        invdl_ref[:] = invd
+
+    dleft_s[:] = d_left_n
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc00_ref[:] = acc00_s[:]
+        accy0_ref[:] = accy0_s[:]
+        w0l_ref[:] = w0_s[:]
+        wl_ref[:] = w_s[:]
+        olast_ref[:] = o_j  # gap s-1: the chunk's right coupling
+        ct = pl.program_id(0)
+        stats_ref[ct, 0] = stats_s[0, 0]
+        stats_ref[ct, 1] = stats_s[0, 1]
+        stats_ref[ct, 2] = stats_s[0, 2]
+
+
+def _gap_sweep_tile(r: int) -> int:
+    """The fused gap-construct + eliminate kernel holds ~2x the plain
+    sweep's VMEM (two _tn_math pipelines' temporaries + the elimination
+    state), so it takes the emission kernel's rank-scaled lane tile."""
+    return _tile_for_rank(r)
+
+
+@jax.jit
+def gap_mahal_sweep_pallas(g: Array, boost: Array, dt_cm: Array,
+                           gv_cm: Array, real_cm: Array, wrap_em: Array,
+                           y_cm: Array):
+    """Fused gaps -> forward-eliminated likelihood sweep.
+
+    dt_cm/gv_cm/real_cm: [s, C] (see `k_system_pallas`); wrap_em
+    [r, r, C] the chunk-crossing d_left row; y_cm [s, r, C] the RHS v in
+    chunk-major order.  Returns (acc00, accy0, w0_last, w_last, d_last,
+    invd_last, mh, ld, lq_sum, k0 [r, r, C], o_last [r, r, C]) -- the
+    sweep state sliced to the true chunk count (kernel-tile padding
+    chunks contribute exact zeros / identities), the row-0 boundary
+    blocks and the right coupling for the reduced system, and the
+    valid-masked total log|Q1| (the prior log-determinant is -lq_sum).
+    """
+    r = g.shape[0]
+    s, c = dt_cm.shape
+    nt = _gap_sweep_tile(r)
+    cpad = -(-c // nt) * nt
+    if cpad != c:
+        p = cpad - c
+        dt_cm = jnp.concatenate(
+            [dt_cm, jnp.ones((s, p), dtype=dt_cm.dtype)], axis=-1)
+        gv_cm = jnp.concatenate(
+            [gv_cm, jnp.zeros((s, p), dtype=gv_cm.dtype)], axis=-1)
+        real_cm = jnp.concatenate(
+            [real_cm, jnp.zeros((s, p), dtype=real_cm.dtype)], axis=-1)
+        wrap_em = jnp.concatenate(
+            [wrap_em, jnp.zeros((r, r, p), dtype=wrap_em.dtype)], axis=-1)
+        y_cm = jnp.concatenate(
+            [y_cm, jnp.zeros((s, r, p), dtype=y_cm.dtype)], axis=-1)
+    a_half = -0.5 * g
+    sym = 0.5 * (g + g.T)
+    half_norm = jnp.max(jnp.sum(jnp.abs(a_half), axis=1))
+    aug_norm = jnp.maximum(
+        jnp.max(jnp.sum(jnp.abs(a_half) + jnp.abs(sym), axis=1)),
+        jnp.max(jnp.sum(jnp.abs(a_half), axis=0)),
+    )
+    smax = jnp.ceil(jnp.log2(jnp.maximum(
+        jnp.max(dt_cm) * aug_norm / _THETA7, 1.0)))
+    smax = jnp.clip(smax, 0.0, float(_MAXSQ)).astype(jnp.int32)
+
+    nct = cpad // nt
+    smem = pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    const = pl.BlockSpec((r, r, 1), lambda t, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((1, 1, nt), lambda t, j: (j + 1, 0, t),
+                        memory_space=pltpu.VMEM)
+    lane0 = pl.BlockSpec((1, 1, nt), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    tilemat = pl.BlockSpec((r, r, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    tilevec = pl.BlockSpec((r, 1, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, r, 1, nt), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    mat = jax.ShapeDtypeStruct((r, r, cpad), g.dtype)
+    vec = jax.ShapeDtypeStruct((r, 1, cpad), g.dtype)
+    outs = pl.pallas_call(
+        _gap_sweep_kernel,
+        grid=(nct, s - 1),
+        in_specs=[smem, smem, smem, const, const, const,
+                  lane, lane, lane, lane0, lane0, lane0,
+                  tilemat, stepv],
+        out_specs=[tilemat, tilevec, tilemat, tilevec, tilemat, tilevec,
+                   pl.BlockSpec((nct, 3), lambda t, j: (0, 0),
+                                memory_space=pltpu.SMEM),
+                   tilemat, tilemat],
+        out_shape=[mat, vec, mat, vec, mat, vec,
+                   jax.ShapeDtypeStruct((nct, 3), g.dtype),
+                   mat, mat],
+        scratch_shapes=[
+            pltpu.VMEM((r, r, nt), g.dtype),
+            pltpu.VMEM((r, r, nt), g.dtype),
+            pltpu.VMEM((r, 1, nt), g.dtype),
+            pltpu.VMEM((r, r, nt), g.dtype),
+            pltpu.VMEM((r, 1, nt), g.dtype),
+            pltpu.SMEM((1, 3), g.dtype),
+            pltpu.VMEM((r, r, nt), g.dtype),
+            pltpu.VMEM((r, r, nt), g.dtype),
+        ],
+    )(half_norm.reshape(1, 1), aug_norm.reshape(1, 1), smax.reshape(1, 1),
+      g[:, :, None], sym[:, :, None], boost[:, :, None],
+      dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :],
+      dt_cm[:1, None, :], gv_cm[:1, None, :], real_cm[:1, None, :],
+      wrap_em, y_cm[:, :, None, :])
+    (acc00, accy0, w0l, wl, dl, invdl, stats, k0, olast) = outs
+    return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
+            dl[:, :, :c], invdl[:, 0, :c],
+            jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1]),
+            jnp.sum(stats[:, 2]), k0[:, :, :c], olast[:, :, :c])

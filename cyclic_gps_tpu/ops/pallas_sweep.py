@@ -309,10 +309,14 @@ def forward_sweep_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
 def _sweep_collect_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
                           acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref,
                           invdl_ref, stats_ref, hc_ref, hw0_ref, hw_ref,
+                          lq_ref,
                           cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s):
     """_sweep_kernel plus per-step 'hat' back-substitution factors
     (partitioned._collect_solve): hat_C = D^{-T} C^T, hat_W0 = D^{-T} W0,
-    hat_w = D^{-T} w, streamed straight to HBM rows each step."""
+    hat_w = D^{-T} w, streamed straight to HBM rows each step; the
+    per-step per-row pivot log-dets stream out as an lq lane too, so the
+    combined solve + per-row-logdet entry (partitioned.
+    solve_and_ld_rows_cm) costs ONE sweep instead of two."""
     j = pl.program_id(1)
     d = r_ref.shape[1]
     jit_eye = jit_ref[0, 0] * jnp.eye(d, dtype=r_ref.dtype)[:, :, None]
@@ -338,6 +342,7 @@ def _sweep_collect_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
         hc_ref[0] = _solve_lower_t(D, invd, _swap(cnew))
         hw0_ref[0] = _solve_lower_t(D, invd, w0)
         hw_ref[0] = _solve_lower_t(D, invd, w)
+        lq_ref[0, 0] = 2.0 * ld[0, 0]  # per-row pivot log-det
 
     @pl.when(j > 0)
     def _():
@@ -359,6 +364,7 @@ def _sweep_collect_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
         hc_ref[0] = _solve_lower_t(D, invd, _swap(cnew))
         hw0_ref[0] = _solve_lower_t(D, invd, w0)
         hw_ref[0] = _solve_lower_t(D, invd, w)
+        lq_ref[0, 0] = 2.0 * ld[0, 0]
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -377,11 +383,13 @@ def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
     """Forward sweep + hat-factor collection as one Pallas kernel.
 
     Returns (acc00, accy0, w0_last, w_last, d_last, invd_last, mh, ld,
-    hat_cs, hat_w0s, hat_ws): the first eight sliced to the true chunk
-    count C, the hat stacks left in padded form (RIGHT-padded to the
-    kernel tile multiple: _pad_chunks appends after the real chunks;
-    consumed as-is by `backward_substitute_pallas` -- slicing them would
-    copy ~200 MB).  Padded chunks yield zero hats -> zero x rows.
+    hat_cs, hat_w0s, hat_ws, ld_rows): the first eight sliced to the
+    true chunk count C, the hat stacks left in padded form (RIGHT-padded
+    to the kernel tile multiple: _pad_chunks appends after the real
+    chunks; consumed as-is by `backward_substitute_pallas` -- slicing
+    them would copy ~200 MB).  Padded chunks yield zero hats -> zero x
+    rows.  ld_rows [s-1, C] are the per-step per-row pivot log-dets
+    (sliced; partitioned.solve_and_ld_rows_cm's one-sweep fusion).
     """
     R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm,
                                       _ct_for(R_cm.shape[1]))
@@ -422,10 +430,13 @@ def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
             pl.BlockSpec((nct, 2), lambda t, j: (0, 0),
                          memory_space=pltpu.SMEM),
             step, step, stepv,
+            pl.BlockSpec((1, 1, ct), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[mat, vec, mat, vec, mat, vec,
                    jax.ShapeDtypeStruct((nct, 2), R_cm.dtype),
-                   smat, smat, svec],
+                   smat, smat, svec,
+                   jax.ShapeDtypeStruct((s - 1, 1, cpad), R_cm.dtype)],
         scratch_shapes=[
             pltpu.VMEM((d, d, ct), R_cm.dtype),
             pltpu.VMEM((d, d, ct), R_cm.dtype),
@@ -435,13 +446,13 @@ def forward_sweep_collect_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
             pltpu.SMEM((1, 2), R_cm.dtype),
         ],
     )(jit_arr, R_cm, O_cm, O_cm, y3)
-    (acc00, accy0, w0l, wl, dl, invdl, stats, hc, hw0, hw) = outs
+    (acc00, accy0, w0l, wl, dl, invdl, stats, hc, hw0, hw, lq) = outs
     ld = jnp.sum(stats[:, 1]) - _pad_jitter_ld(s, d, cpad - c, jitter,
                                                R_cm.dtype)
     return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
             dl[:, :, :c], invdl[:, 0, :c],
             jnp.sum(stats[:, 0]), ld,
-            hc, hw0, hw[:, :, 0, :])
+            hc, hw0, hw[:, :, 0, :], lq[:, 0, :c])
 
 
 # ---------------------------------------------------------------------------

@@ -178,8 +178,16 @@ def _collect_ldrows(state: _SweepState):
     return 2.0 * sb.chol_log_diag_rows(state.dj)
 
 
+def _collect_solve_ldrows(state: _SweepState):
+    """Hat back-substitution factors AND the per-row pivot log-dets from
+    the same step (the fused solve + per-row-logdet sweep,
+    `solve_and_ld_rows_cm`)."""
+    return _collect_solve(state) + (_collect_ldrows(state),)
+
+
 _COLLECTORS = {"solve": _collect_solve, "inverse": _collect_inverse,
-               "ldrows": _collect_ldrows}
+               "ldrows": _collect_ldrows,
+               "solve_ldrows": _collect_solve_ldrows}
 
 
 def _forward_sweep(R_cm, O_cm, y_cm, jitter, collect):
@@ -903,7 +911,7 @@ def _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
         from cyclic_gps_tpu.ops import pallas_sweep as ps
 
         (acc00, accy0, w0l, wl, dl, invdl, mh, ld,
-         hat_cs, hat_w0s, hat_ws) = ps.forward_sweep_collect_pallas(
+         hat_cs, hat_w0s, hat_ws, _) = ps.forward_sweep_collect_pallas(
             R_cm, O_cm, y_cm, jitter=jitter)
         state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
         w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
@@ -917,11 +925,21 @@ def _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
         sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
         sb.vec_from_em(red_rhs), None, jitter,
     )  # [C, d]
-    xb = sb.vec_to_em(x_b)  # [d, C] own-chunk boundary
-    xb_next = sb.shift_up(xb)  # next chunk's boundary (0 for last)
+    x_nat = _back_substitute(state, w1, hat_cs, hat_w0s, hat_ws,
+                             sb.vec_to_em(x_b), c, backend)
+    return x_nat, 2.0 * state.ld + red_ld
 
+
+def _back_substitute(state, w1, hat_cs, hat_w0s, hat_ws, xb, c, backend):
+    """Chain back-substitution shared by the solve entries: hat factors
+    + the reduced boundary solution xb [d, C] -> the full padded
+    natural-order solution [C*s, d]."""
+    s = hat_cs.shape[0] + 1
+    xb_next = sb.shift_up(xb)  # next chunk's boundary (0 for last)
     hat_w1 = sb.solve_lower_t(state.dj, state.invd, w1)
     if backend == "pallas":
+        from cyclic_gps_tpu.ops import pallas_sweep as ps
+
         cpad = hat_cs.shape[-1]  # kernel-tile padded width
 
         def padc(a):
@@ -960,8 +978,8 @@ def _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
 
     # assemble [s, d, C] chunk-major solution, then back to natural order
     x_cm = jnp.concatenate([xb[None], interior], axis=0)
-    x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, d)
-    return x_nat, 2.0 * state.ld + red_ld
+    d = xb.shape[0]
+    return jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, d)
 
 
 @partial(jax.jit, static_argnames=("s", "jitter", "backend"))
@@ -1055,6 +1073,126 @@ def solve_and_logdet(
     R_cm, O_cm, y_cm, _ = _chunk_layout(diag, off, y, s)
     x_pad, ld = solve_cm(R_cm, O_cm, y_cm, jitter, backend)
     return x_pad[:n], ld
+
+
+# ---------------------------------------------------------------------------
+# Fused solve + per-row pivot log-dets: ONE forward sweep (the collect
+# kernel streams the lq lane alongside the hat factors) where separate
+# solve_cm + logdet_rows_cm calls pay two full passes over J; the
+# analytic adjoint shares ONE selected inversion between both parts.
+# The per-series likelihood (leg.log_likelihood_per_series) is the
+# consumer: its forward drops from three J-sized passes to two and its
+# backward from ~two selected inversions + solve to one of each.
+# ---------------------------------------------------------------------------
+
+
+def _solve_ldr_impl(diag, off, y, s, jitter):
+    """Natural-layout recursion: (J^{-1} y [n, d], per-row pivot
+    log-dets [n])."""
+    n, d = y.shape
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        decomp = cr.decompose(diag, off, jitter=jitter)
+        return cr.solve(decomp, y), _ld_rows_seq(diag, off, jitter)
+    R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, y, s)
+    x_nat, rows_cm = _solve_ldr_from_cm(R_cm, O_cm, y_cm, jitter)
+    rows = jnp.transpose(rows_cm, (1, 0)).reshape(c * s)
+    return x_nat[:n], rows[:n]
+
+
+def _solve_ldr_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
+    """Chunk-major fused solve + per-row log-dets; returns the full
+    padded natural-order solution [C*s, d] and rows [s, C] (row c*s + j
+    at [j, c]; sum == log|J| exactly, per-segment sums exact for
+    block-diagonal J -- see `logdet_rows`)."""
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    if backend == "pallas":
+        from cyclic_gps_tpu.ops import pallas_sweep as ps
+
+        (acc00, accy0, w0l, wl, dl, invdl, mh, ld,
+         hat_cs, hat_w0s, hat_ws, ld_int) = ps.forward_sweep_collect_pallas(
+            R_cm, O_cm, y_cm, jitter=jitter)
+        state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
+        w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+    else:
+        state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                            collect="solve_ldrows")
+        hat_cs, hat_w0s, hat_ws, ld_int = stacked  # ld_int [s-1, C]
+    red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
+    x_b, red_rows = _solve_ldr_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs), None, jitter,
+    )  # [C, d], [C] (reduced row c IS natural row c*s)
+    x_nat = _back_substitute(state, w1, hat_cs, hat_w0s, hat_ws,
+                             sb.vec_to_em(x_b), c, backend)
+    rows_cm = jnp.concatenate([red_rows[None], ld_int], axis=0)  # [s, C]
+    return x_nat, rows_cm
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _solve_ldr_cm(R_cm, O_cm, y_cm, jitter, backend):
+    return _solve_ldr_from_cm(R_cm, O_cm, y_cm, jitter, backend)
+
+
+def _solve_ldr_cm_fwd(R_cm, O_cm, y_cm, jitter, backend):
+    x_nat, rows_cm = _solve_ldr_from_cm(R_cm, O_cm, y_cm, jitter, backend)
+    return (x_nat, rows_cm), (R_cm, O_cm, y_cm, x_nat)
+
+
+def _solve_ldr_cm_bwd(jitter, backend, res, cots):
+    """Analytic adjoint sharing ONE selected inversion between the solve
+    part (`_solve_cm_bwd`'s formula) and the per-row log-det part
+    (`_ld_rows_cm_bwd`'s -- valid for SEGMENT-CONSTANT per-row
+    cotangents only, which segment-sum consumers guarantee):
+
+      u        = J^{-1} gx              (one more solve)
+      g_diag_i = w_i Sigma_ii - u_i x_i^T
+      g_off_i  = 2 w_i Sigma_{i+1,i} - u_{i+1} x_i^T - x_{i+1} u_i^T
+      g_y      = u
+    """
+    R_cm, O_cm, y_cm, x_nat = res
+    gx, w_cm = cots
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    gx_cm = jnp.transpose(gx.reshape(c, s, d), (1, 2, 0))
+    u_nat, _ = _solve_from_cm(R_cm, O_cm, gx_cm, jitter, backend)
+    sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
+    w = jnp.transpose(w_cm, (1, 0)).reshape(c * s)
+    zrow = jnp.zeros((1, d), x_nat.dtype)
+    x_next = jnp.concatenate([x_nat[1:], zrow], axis=0)
+    u_next = jnp.concatenate([u_nat[1:], zrow], axis=0)
+    g_diag = (w[:, None, None] * sig_diag
+              - u_nat[:, :, None] * x_nat[:, None, :])
+    g_off = (
+        2.0 * w[:, None, None] * sig_off
+        - u_next[:, :, None] * x_nat[:, None, :]
+        - x_next[:, :, None] * u_nat[:, None, :]
+    )
+    g_y = u_nat
+    g_R = jnp.transpose(g_diag.reshape(c, s, d, d), (1, 2, 3, 0))
+    g_O = jnp.transpose(g_off.reshape(c, s, d, d), (1, 2, 3, 0))
+    g_yc = jnp.transpose(g_y.reshape(c, s, d), (1, 2, 0))
+    return g_R, g_O, g_yc
+
+
+_solve_ldr_cm.defvjp(_solve_ldr_cm_fwd, _solve_ldr_cm_bwd)
+
+
+def solve_and_ld_rows_cm(R_cm: Array, O_cm: Array, y_cm: Array,
+                         jitter: float = 0.0,
+                         backend: str = "auto") -> Tuple[Array, Array]:
+    """(J^{-1} y [C*s, d] padded natural order, per-row pivot log-dets
+    [s, C]) from ONE forward sweep + one back-substitution -- the fused
+    replacement for separate `solve_cm` + `logdet_rows_cm` calls (which
+    pay two full passes over J).  sum(rows) == log|J| exactly;
+    per-segment sums exact for block-diagonal J (`logdet_rows`).
+    Differentiable under every backend with a SHARED analytic adjoint
+    (one solve + one selected inversion total, `_solve_ldr_cm_bwd`);
+    the per-row cotangent must be segment-constant (segment-sum
+    consumers: leg.log_likelihood_per_series)."""
+    return _solve_ldr_cm(R_cm, O_cm, y_cm, jitter,
+                         resolve_backend(backend))
 
 
 # ---------------------------------------------------------------------------

@@ -292,18 +292,28 @@ def _build_mahal_fn(mesh, axis, jitter, engine, backend):
 
 
 def _plan_chunk(m: int) -> int:
-    """Largest usable chunk length <= 128 dividing m (0 if none)."""
-    s = min(128, m // 2)
+    """Largest usable chunk length <= _LEVEL_CHUNK dividing m (0 if
+    none).  Module constant so interpret-mode CI can shrink the Pallas
+    kernel grids (see _partitioned_fused_local)."""
+    s = min(_LEVEL_CHUNK, m // 2)
     while s > 1 and m % s:
         s -= 1
     return s if s >= 2 else 0
 
 
-def _eliminate_levels(R, O, yt, axis: str, jitter: float, collect: str):
+def _eliminate_levels(R, O, yt, axis: str, jitter: float, collect: str,
+                      backend: str = "xla"):
     """Run elimination levels shard-local, collecting per-level
     back-substitution state.  Returns (levels, R, O, yt, ld_local):
     levels is a list of dicts with the chunk-major inputs' metadata, the
-    sweep state, W1, and the collected stacks for the upward walk."""
+    sweep state, W1, and the collected stacks for the upward walk.
+
+    ``backend="pallas"`` runs large levels' forward sweeps as the fused
+    collect kernel (hat factors + the per-row lq lane streamed to HBM;
+    multi-chip pods -- the same kernel/XLA split as
+    `_partitioned_fused_local`).  Those levels' hat stacks stay padded
+    to the kernel tile; the upward walks dispatch their
+    back-substitution to the Pallas kernel too (lv["pallas"])."""
     d = R.shape[0]
     psize = jax.lax.axis_size(axis)
     shifts = _halo_shifts(axis)
@@ -318,10 +328,42 @@ def _eliminate_levels(R, O, yt, axis: str, jitter: float, collect: str):
         R_cm = jnp.transpose(R.reshape(d, d, c_loc, s), (3, 0, 1, 2))
         O_cm = jnp.transpose(O.reshape(d, d, c_loc, s), (3, 0, 1, 2))
         y_cm = jnp.transpose(yt.reshape(d, c_loc, s), (2, 0, 1))
-        state, w1, stacked = pt._forward_sweep(R_cm, O_cm, y_cm, jitter,
-                                               collect=collect)
+        use_pallas = (backend == "pallas" and s >= 3 and c_loc >= 64
+                      and collect in ("solve", "solve_ldrows", "inverse"))
+        if use_pallas and collect == "inverse":
+            from cyclic_gps_tpu.ops.pallas_sweep import (
+                forward_sweep_inverse_pallas,
+            )
+
+            (acc00, w0l, dl, invdl, ds, invds, cs_,
+             w0s) = forward_sweep_inverse_pallas(R_cm, O_cm,
+                                                 jitter=jitter)
+            # no RHS on this path: w = 0, accy0 = 0 (and ld unused)
+            zv = jnp.zeros((d, c_loc), R_cm.dtype)
+            zs = jnp.zeros((), R_cm.dtype)
+            state = pt._SweepState(None, w0l, zv, dl, invdl, acc00,
+                                   zv, zs, zs)
+            w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+            stacked = (ds, invds, cs_, w0s)  # kernel-tile padded
+        elif use_pallas:
+            from cyclic_gps_tpu.ops.pallas_sweep import (
+                forward_sweep_collect_pallas,
+            )
+
+            (acc00, accy0, w0l, wl, dl, invdl, mh_k, ld_k, hat_cs,
+             hat_w0s, hat_ws, ld_int) = forward_sweep_collect_pallas(
+                R_cm, O_cm, y_cm, jitter=jitter)
+            state = pt._SweepState(None, w0l, wl, dl, invdl, acc00,
+                                   accy0, mh_k, ld_k)
+            w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+            stacked = (hat_cs, hat_w0s, hat_ws)
+            if collect == "solve_ldrows":
+                stacked = stacked + (ld_int,)
+        else:
+            state, w1, stacked = pt._forward_sweep(R_cm, O_cm, y_cm,
+                                                   jitter, collect=collect)
         levels.append(dict(s=s, c_loc=c_loc, state=state, w1=w1,
-                           stacked=stacked))
+                           stacked=stacked, pallas=use_pallas))
         s11 = sb.matmul(w1, w1, ta=True)
         R = R_cm[0] - state.acc00 - shifts.shift_down(s11)
         O = -sb.matmul(w1, state.w0, ta=True)
@@ -332,20 +374,66 @@ def _eliminate_levels(R, O, yt, axis: str, jitter: float, collect: str):
     return levels, R, O, yt, ld
 
 
+def _level_back_substitute(lv, xb, xb_next):
+    """One level's chunk-interior back-substitution on its collected hat
+    factors; returns interior rows [s-1, d, c_loc] (steps j = 1..s-1).
+    Pallas levels (padded stacks) run the descending-grid kernel."""
+    s, c_loc = lv["s"], lv["c_loc"]
+    state, w1 = lv["state"], lv["w1"]
+    hat_cs, hat_w0s, hat_ws = lv["stacked"][:3]
+    hat_w1 = sb.solve_lower_t(state.dj, state.invd, w1)
+    if lv.get("pallas"):
+        from cyclic_gps_tpu.ops.pallas_sweep import (
+            backward_substitute_pallas,
+        )
+
+        cpad = hat_cs.shape[-1]
+
+        def padc(a):
+            if cpad == a.shape[-1]:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (cpad - a.shape[-1],),
+                              dtype=a.dtype)], axis=-1,
+            )
+
+        return backward_substitute_pallas(
+            hat_cs, hat_w0s, hat_ws, padc(hat_w1), padc(xb),
+            padc(xb_next),
+        )[:, :, :c_loc]
+    hat_w0_l = sb.solve_lower_t(state.dj, state.invd, state.w0)
+    hat_w_l = sb.solve_lower_t_vec(state.dj, state.invd, state.w)
+    x_last = (hat_w_l - sb.matvec(hat_w0_l, xb)
+              - sb.matvec(hat_w1, xb_next))
+    if s > 2:
+        def back(x_next, inp):
+            hc, hw0, hw = inp
+            x_j = hw - sb.matvec(hw0, xb) - sb.matvec(hc, x_next)
+            return x_j, x_j
+
+        inps = jax.tree.map(lambda a: a[:-1], (hat_cs, hat_w0s, hat_ws))
+        _, xs_rev = jax.lax.scan(back, x_last, inps, reverse=True)
+        return jnp.concatenate([xs_rev, x_last[None]], axis=0)
+    return x_last[None]
+
+
 def _local_slice_nat(x_nat, m_loc, axis: str):
     """Slice this shard's rows out of a replicated natural-order array."""
     idx = jax.lax.axis_index(axis)
     return jax.lax.dynamic_slice_in_dim(x_nat, idx * m_loc, m_loc, axis=0)
 
 
-def _solve_local(R, O, yt, axis: str, jitter: float):
+def _solve_local(R, O, yt, axis: str, jitter: float,
+                 backend: str = "xla"):
     """Shard-local (J^{-1} y, log|J|): elimination levels down, replicated
     terminal solve, back-substitution levels up (boundary values cross
     shard edges via shift_up halos).  Returns (x [d, m] element-major
-    local, replicated logdet)."""
+    local, replicated logdet).  ``backend="pallas"``: large levels run
+    both passes as the Pallas kernels (multi-chip pods)."""
     shifts = _halo_shifts(axis)
     levels, R, O, yt, ld = _eliminate_levels(R, O, yt, axis, jitter,
-                                             collect="solve")
+                                             collect="solve",
+                                             backend=backend)
     m_rem = R.shape[-1]
     Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
     Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
@@ -359,44 +447,68 @@ def _solve_local(R, O, yt, axis: str, jitter: float):
     x = sb.vec_to_em(_local_slice_nat(x_top, m_rem, axis))  # [d, m_rem]
 
     for lv in reversed(levels):
-        s, c_loc = lv["s"], lv["c_loc"]
-        state, w1 = lv["state"], lv["w1"]
-        hat_cs, hat_w0s, hat_ws = lv["stacked"]
         xb = x  # [d, c_loc] boundary solutions of this level's chunks
         xb_next = shifts.shift_up(xb)  # next chunk boundary (halo right)
-
-        hat_w1 = sb.solve_lower_t(state.dj, state.invd, w1)
-        hat_w0_l = sb.solve_lower_t(state.dj, state.invd, state.w0)
-        hat_w_l = sb.solve_lower_t_vec(state.dj, state.invd, state.w)
-        x_last = (hat_w_l - sb.matvec(hat_w0_l, xb)
-                  - sb.matvec(hat_w1, xb_next))
-        if s > 2:
-            def back(x_next, inp):
-                hc, hw0, hw = inp
-                x_j = hw - sb.matvec(hw0, xb) - sb.matvec(hc, x_next)
-                return x_j, x_j
-
-            inps = jax.tree.map(lambda a: a[:-1],
-                                (hat_cs, hat_w0s, hat_ws))
-            _, xs_rev = jax.lax.scan(back, x_last, inps, reverse=True)
-            interior = jnp.concatenate([xs_rev, x_last[None]], axis=0)
-        else:
-            interior = x_last[None]
+        interior = _level_back_substitute(lv, xb, xb_next)
         x_cm = jnp.concatenate([xb[None], interior], axis=0)  # [s, d, c]
         # natural local order: index i = c*s + j -> [d, c_loc*s]
         x = jnp.transpose(x_cm, (1, 2, 0)).reshape(x_cm.shape[1], -1)
     return x, ld
 
 
-def _inverse_local(R, O, axis: str, jitter: float):
+def _solve_ldr_local(R, O, yt, axis: str, jitter: float,
+                     backend: str = "xla"):
+    """Shard-local FUSED (J^{-1} y, per-row pivot log-dets): ONE
+    elimination walk down (collect="solve_ldrows" stores the hat factors
+    AND each step's per-row log-dets) + one walk up -- where separate
+    `_solve_local` + per-row-logdet walks pay two of each.  Returns
+    (x [d, m] element-major local, rows [m] natural local order); the
+    multi-chip twin of `pt._solve_ldr_from_cm`.  ``backend="pallas"``:
+    large levels run the collect sweep (hat factors + lq lane) and the
+    back-substitution as the Pallas kernels."""
+    shifts = _halo_shifts(axis)
+    levels, R, O, yt, _ = _eliminate_levels(R, O, yt, axis, jitter,
+                                            collect="solve_ldrows",
+                                            backend=backend)
+    m_rem = R.shape[-1]
+    Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
+    Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
+    yg = jax.lax.all_gather(yt, axis, axis=1, tiled=True)
+    nrem = Rg.shape[-1]
+    x_top, rows_top = pt._solve_ldr_impl(
+        sb.from_em(Rg), sb.from_em(Og)[: nrem - 1], sb.vec_from_em(yg),
+        None, jitter,
+    )  # replicated [nrem, d], [nrem]
+    x = sb.vec_to_em(_local_slice_nat(x_top, m_rem, axis))  # [d, m_rem]
+    rows = _local_slice_nat(rows_top, m_rem, axis)  # [m_rem]
+
+    for lv in reversed(levels):
+        ld_int = lv["stacked"][3]  # [s-1, c_loc] per-step pivot rows
+        xb = x  # [d, c_loc] boundary solutions of this level's chunks
+        xb_next = shifts.shift_up(xb)  # next chunk boundary (halo right)
+        interior = _level_back_substitute(lv, xb, xb_next)
+        x_cm = jnp.concatenate([xb[None], interior], axis=0)  # [s, d, c]
+        x = jnp.transpose(x_cm, (1, 2, 0)).reshape(x_cm.shape[1], -1)
+        # interleave this level's per-step rows around the boundary rows
+        # (reduced row c IS natural row c*s -- the level invariant)
+        rows_cm = jnp.concatenate([rows[None], ld_int], axis=0)  # [s, c]
+        rows = jnp.transpose(rows_cm, (1, 0)).reshape(-1)
+    return x, rows
+
+
+def _inverse_local(R, O, axis: str, jitter: float,
+                   backend: str = "xla"):
     """Shard-local selected inversion: (diag [d, d, m], off [d, d, m]
     element-major local; off[..., i] = Sigma_{i+1, i} with the trailing
-    entry crossing the shard edge, zero at the global end)."""
+    entry crossing the shard edge, zero at the global end).
+    ``backend="pallas"``: large levels run the raw-factor collect sweep
+    and the Takahashi recursion as the Pallas kernels."""
     d = R.shape[0]
     shifts = _halo_shifts(axis)
     yt = jnp.zeros((d, R.shape[-1]), dtype=R.dtype)
     levels, R, O, yt, _ = _eliminate_levels(R, O, yt, axis, jitter,
-                                            collect="inverse")
+                                            collect="inverse",
+                                            backend=backend)
     m_rem = R.shape[-1]
     Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
     Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
@@ -435,36 +547,80 @@ def _inverse_local(R, O, axis: str, jitter: float):
             sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
         )
 
-        def back(carry, inp):
-            phi_n, u0_n, u1_n, a0_n, a1_n = carry
-            d_j, invd_j, c_j, w0_j = inp
-            di = sb.tri_lower_inverse(d_j, invd_j)
-            cd = sb.matmul(c_j, di)
-            phi_off = -sb.matmul(phi_n, cd)
-            phi_j = sb.matmul(di, di, ta=True) + sb.matmul(
-                sb.matmul(cd, phi_n, ta=True), cd
+        if lv.get("pallas"):
+            # stacks are kernel-tile padded; pad the chunk-level inputs
+            # to match, run the Takahashi kernel, slice back (the
+            # single-chip pt._inverse_from_cm_pallas assembly)
+            from cyclic_gps_tpu.ops.pallas_sweep import (
+                takahashi_backward_pallas,
             )
-            u0_j = sb.solve_lower_t(
-                d_j, invd_j, w0_j - sb.matmul(c_j, u0_n, ta=True)
-            )
-            u1_j = -sb.solve_lower_t(
-                d_j, invd_j, sb.matmul(c_j, u1_n, ta=True)
-            )
-            a0_j, a1_j = sigma_bb_ut(u0_j, u1_j)
-            diag_j = phi_j + sb.matmul(u0_j, a0_j) + sb.matmul(u1_j, a1_j)
-            off_j = phi_off + sb.matmul(u0_n, a0_j) + sb.matmul(u1_n, a1_j)
-            return (phi_j, u0_j, u1_j, a0_j, a1_j), (diag_j, off_j)
 
-        if s > 2:
-            inps = jax.tree.map(lambda a: a[:-1], (ds, invds, cs_, w0s))
-            (phi, u0, u1, a0, a1), (diag_mid, off_mid) = jax.lax.scan(
-                back, (phi, u0, u1, a0, a1), inps, reverse=True
+            cpad = ds.shape[-1]
+
+            def pad_eye(a):
+                if cpad == c_loc:
+                    return a
+                eye = jnp.broadcast_to(
+                    jnp.eye(d, dtype=a.dtype)[:, :, None],
+                    (d, d, cpad - c_loc),
+                )
+                return jnp.concatenate([a, eye], axis=-1)
+
+            def pad_zero(a):
+                if cpad == c_loc:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.zeros((d, d, cpad - c_loc), dtype=a.dtype)],
+                    axis=-1,
+                )
+
+            diag_mid_p, off_mid_p, u0f, u1f = takahashi_backward_pallas(
+                ds, invds, cs_, w0s,
+                pad_eye(p00), pad_zero(p01), pad_zero(p10), pad_eye(p11),
+                pad_eye(phi), pad_zero(u0), pad_zero(u1),
+                pad_zero(a0), pad_zero(a1),
             )
-            diag_int = jnp.concatenate([diag_mid, diag_last[None]], axis=0)
-            off_int = off_mid
+            diag_int = jnp.concatenate(
+                [diag_mid_p[:, :, :, :c_loc], diag_last[None]], axis=0
+            )
+            off_int = off_mid_p[:, :, :, :c_loc]
+            u0, u1 = u0f[:, :, :c_loc], u1f[:, :, :c_loc]
         else:
-            diag_int = diag_last[None]
-            off_int = jnp.zeros((0, d, d, c_loc), dtype=R.dtype)
+            def back(carry, inp):
+                phi_n, u0_n, u1_n, a0_n, a1_n = carry
+                d_j, invd_j, c_j, w0_j = inp
+                di = sb.tri_lower_inverse(d_j, invd_j)
+                cd = sb.matmul(c_j, di)
+                phi_off = -sb.matmul(phi_n, cd)
+                phi_j = sb.matmul(di, di, ta=True) + sb.matmul(
+                    sb.matmul(cd, phi_n, ta=True), cd
+                )
+                u0_j = sb.solve_lower_t(
+                    d_j, invd_j, w0_j - sb.matmul(c_j, u0_n, ta=True)
+                )
+                u1_j = -sb.solve_lower_t(
+                    d_j, invd_j, sb.matmul(c_j, u1_n, ta=True)
+                )
+                a0_j, a1_j = sigma_bb_ut(u0_j, u1_j)
+                diag_j = (phi_j + sb.matmul(u0_j, a0_j)
+                          + sb.matmul(u1_j, a1_j))
+                off_j = (phi_off + sb.matmul(u0_n, a0_j)
+                         + sb.matmul(u1_n, a1_j))
+                return (phi_j, u0_j, u1_j, a0_j, a1_j), (diag_j, off_j)
+
+            if s > 2:
+                inps = jax.tree.map(lambda a: a[:-1],
+                                    (ds, invds, cs_, w0s))
+                (phi, u0, u1, a0, a1), (diag_mid, off_mid) = jax.lax.scan(
+                    back, (phi, u0, u1, a0, a1), inps, reverse=True
+                )
+                diag_int = jnp.concatenate(
+                    [diag_mid, diag_last[None]], axis=0
+                )
+                off_int = off_mid
+            else:
+                diag_int = diag_last[None]
+                off_int = jnp.zeros((0, d, d, c_loc), dtype=R.dtype)
 
         off_edge_left = -(sb.matmul(u0, p00) + sb.matmul(u1, p10))
         diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
@@ -476,43 +632,15 @@ def _inverse_local(R, O, axis: str, jitter: float):
     return diag_loc, off_loc
 
 
-def _ld_rows_local(R, O, axis: str, jitter: float):
-    """Shard-local per-row pivot log-determinants [m] (natural local
-    order; psum of their segment sums == per-segment logdets for a
-    segment-block-diagonal system -- the multi-chip pt.logdet_rows).
-
-    Same level structure as `_solve_local`: elimination levels down with
-    a per-step "ldrows" collect, the replicated terminal's rows sliced
-    back to their owning shard, then each level's boundary rows are
-    interleaved back into natural local order on the walk up (reduced
-    row c of a level IS that level's natural row c*s)."""
-    d = R.shape[0]
-    yt = jnp.zeros((d, R.shape[-1]), dtype=R.dtype)
-    levels, R, O, yt, _ = _eliminate_levels(R, O, yt, axis, jitter,
-                                            collect="ldrows")
-    m_rem = R.shape[-1]
-    Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
-    Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
-    nrem = Rg.shape[-1]
-    rows_t = pt.logdet_rows(
-        sb.from_em(Rg), sb.from_em(Og)[: nrem - 1], jitter=jitter
-    )  # replicated [nrem]
-    rows = _local_slice_nat(rows_t, m_rem, axis)  # [m_rem]
-    for lv in reversed(levels):
-        rows_cm = jnp.concatenate(
-            [rows[None], lv["stacked"]], axis=0
-        )  # [s, c_loc]: j = 0 boundary rows + interior steps
-        rows = jnp.transpose(rows_cm, (1, 0)).reshape(-1)
-    return rows
-
-
 def solve(
     diag: Array, off: Array, y: Array, mesh: Mesh, axis: str = "seq",
-    jitter: float = 0.0,
+    jitter: float = 0.0, backend: str = "xla",
 ) -> Tuple[Array, Array]:
     """Sequence-sharded (J^{-1} y, log|J|): the multi-chip counterpart of
     `pt.solve_and_logdet` (exact match, tests/test_parallel.py).  diag
-    [N, d, d], off [N-1, d, d], y [N, d]; N divisible by the mesh size."""
+    [N, d, d], off [N-1, d, d], y [N, d]; N divisible by the mesh size.
+    ``backend="pallas"``: each shard's large levels run both passes as
+    the Pallas kernels (multi-chip pods)."""
     n, d, _ = diag.shape
     _check_shard(n, mesh, axis)
     R = sb.to_em(diag)
@@ -521,13 +649,13 @@ def solve(
     )
     yt = sb.vec_to_em(y)
 
-    fn = _cached_shard_fn(_build_solve_fn, mesh, axis, jitter)
+    fn = _cached_shard_fn(_build_solve_fn, mesh, axis, jitter, backend)
     return fn(R, O, yt)
 
 
-def _build_solve_fn(mesh, axis, jitter):
+def _build_solve_fn(mesh, axis, jitter, backend="xla"):
     def local(R, O, yt):
-        x, ld = _solve_local(R, O, yt, axis, jitter)
+        x, ld = _solve_local(R, O, yt, axis, jitter, backend)
         return sb.vec_from_em(x), ld
 
     return jax.jit(
@@ -542,11 +670,13 @@ def _build_solve_fn(mesh, axis, jitter):
 
 def inverse_blocks(
     diag: Array, off: Array, mesh: Mesh, axis: str = "seq",
-    jitter: float = 0.0,
+    jitter: float = 0.0, backend: str = "xla",
 ) -> Tuple[Array, Array]:
     """Sequence-sharded selected inversion: (Sigma_ii [N, d, d],
     Sigma_{i+1,i} [N-1, d, d]) of the block-tridiagonal J^{-1} -- the
-    multi-chip `pt.inverse_blocks`."""
+    multi-chip `pt.inverse_blocks`.  ``backend="pallas"``: large levels
+    run the raw-factor sweep + Takahashi recursion as the Pallas
+    kernels."""
     n, d, _ = diag.shape
     _check_shard(n, mesh, axis)
     R = sb.to_em(diag)
@@ -554,14 +684,14 @@ def inverse_blocks(
         [sb.to_em(off), jnp.zeros((d, d, 1), dtype=diag.dtype)], axis=-1
     )
 
-    fn = _cached_shard_fn(_build_inverse_fn, mesh, axis, jitter)
+    fn = _cached_shard_fn(_build_inverse_fn, mesh, axis, jitter, backend)
     dg, of = fn(R, O)
     return dg, of[: n - 1]
 
 
-def _build_inverse_fn(mesh, axis, jitter):
+def _build_inverse_fn(mesh, axis, jitter, backend="xla"):
     def local(R, O):
-        dg, of = _inverse_local(R, O, axis, jitter)
+        dg, of = _inverse_local(R, O, axis, jitter, backend)
         return sb.from_em(dg), sb.from_em(of)
 
     return jax.jit(
@@ -614,8 +744,8 @@ def _mahal_parts_bwd(axis, jitter, backend, res, cots):
     R, O, yt = res
     gm, gl = cots  # replicated: true cotangents of the psummed totals
     shifts = _halo_shifts(axis)
-    x, _ = _solve_local(R, O, yt, axis, jitter)          # [d, m] local
-    sig_diag, sig_off = _inverse_local(R, O, axis, jitter)
+    x, _ = _solve_local(R, O, yt, axis, jitter, backend)  # [d, m] local
+    sig_diag, sig_off = _inverse_local(R, O, axis, jitter, backend)
     x_next = shifts.shift_up(x[:, None, :])[:, 0, :]     # x_{i+1} (halo)
     xo = x[:, None, :] * x[None, :, :]
     xo_off = x_next[:, None, :] * x[None, :, :]
@@ -649,8 +779,9 @@ def _rows_parts_diff(R, O, yt, axis, jitter, backend="xla"):
     i.e. the rows are consumed through segment sums + psum (the stacked
     per-series likelihood).  Off-block cotangents at segment boundaries
     are weight-ambiguous but annihilated upstream by the gap mask."""
-    x, _ = _solve_local(R, O, yt, axis, jitter)
-    return jnp.sum(yt * x, axis=0), _ld_rows_local(R, O, axis, jitter)
+    x, ld_rows = _solve_ldr_local(R, O, yt, axis, jitter,
+                                  backend)  # fused: ONE walk down + up
+    return jnp.sum(yt * x, axis=0), ld_rows
 
 
 def _rows_parts_fwd(R, O, yt, axis, jitter, backend="xla"):
@@ -661,8 +792,8 @@ def _rows_parts_bwd(axis, jitter, backend, res, cots):
     R, O, yt = res
     wm, wl = cots  # per-row weights (segment-constant by contract)
     shifts = _halo_shifts(axis)
-    x, _ = _solve_local(R, O, yt, axis, jitter)          # [d, m] local
-    sig_diag, sig_off = _inverse_local(R, O, axis, jitter)
+    x, _ = _solve_local(R, O, yt, axis, jitter, backend)  # [d, m] local
+    sig_diag, sig_off = _inverse_local(R, O, axis, jitter, backend)
     x_next = shifts.shift_up(x[:, None, :])[:, 0, :]     # x_{i+1} (halo)
     xo = x[:, None, :] * x[None, :, :]
     xo_off = x_next[:, None, :] * x[None, :, :]
@@ -877,7 +1008,7 @@ def log_likelihood_per_series(
     """Sequence-sharded PER-SERIES likelihood vector [num_series]: the
     multi-chip `leg.log_likelihood_per_series`.  Every term decomposes
     into shard-local per-row partials (per-point LLT terms, per-gap
-    log|Q1| rows, per-row pivot log-dets via `_ld_rows_local`, v_i . x_i
+    log|Q1| rows, per-row pivot log-dets via `_solve_ldr_local`, v_i . x_i
     through the sharded solve), segment-summed locally and psummed.
     Differentiable with the analytic per-row adjoint
     (`_rows_parts_diff`: one sharded solve + one sharded selected

@@ -143,6 +143,101 @@ def test_pallas_solve_matches_xla(n):
     np.testing.assert_allclose(float(ld2_p), float(ld2_x), rtol=1e-5)
 
 
+def test_gap_fused_likelihood_matches_xla():
+    """The mega-fused gaps->likelihood kernel (leg._gap_mahal_fused:
+    per-row precision blocks constructed in VMEM and eliminated in
+    place, no materialized K) == the two-stage XLA assembly: values,
+    parameter gradients, and the stacked-series masked variant.
+    Interpret mode in CI; f32 fixtures (the kernel's dispatch dtype)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, rank, obs = 300, 3, 2
+    ts, xs = generate_data(n, obs, dtype=jnp.float32,
+                           spacing="irregular", seed=21)
+    params = leg.init_params(jax.random.key(5), rank=rank, obs_dim=obs,
+                             dtype=jnp.float32)
+
+    ll_ref = leg.log_likelihood(params, ts, xs, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        ll_f = leg.log_likelihood(params, ts, xs, backend="pallas")
+    np.testing.assert_allclose(float(ll_f), float(ll_ref), rtol=2e-5)
+
+    g_ref = jax.grad(
+        lambda p: leg.log_likelihood(p, ts, xs, backend="xla")
+    )(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(
+            lambda p: leg.log_likelihood(p, ts, xs, backend="pallas")
+        )(params)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+    # stacked: the series-boundary mask rides the kernel's gap_valid
+    ids = jnp.asarray(
+        np.repeat(np.arange(3), [120, 90, 90]), jnp.int32
+    )
+    ts_st = jnp.concatenate([ts[:120], ts[:90], ts[:90]])
+    xs_st = jnp.concatenate([xs[:120], xs[:90], xs[:90]])
+    ll_st_ref = leg.log_likelihood_stacked(params, ts_st, xs_st, ids,
+                                           backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        ll_st_f = leg.log_likelihood_stacked(params, ts_st, xs_st, ids,
+                                             backend="pallas")
+    np.testing.assert_allclose(float(ll_st_f), float(ll_st_ref),
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("n", [256, 250])
+def test_fused_solve_ld_rows_matches_separate(n):
+    """pt.solve_and_ld_rows_cm (ONE sweep) == separate solve_cm +
+    logdet_rows_cm on both backends, sum(rows) == log|J|, and the shared
+    analytic adjoint == the separate entries' adjoints under the same
+    (segment-constant-assumption) cotangents."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, s = 3, 8
+    R_cm, O_cm, y_cm = _pallas_system(n, d, s, seed=n + 2)
+    x_f, rows_f = pt.solve_and_ld_rows_cm(R_cm, O_cm, y_cm, backend="xla")
+    x_x, ld_x = pt.solve_cm(R_cm, O_cm, y_cm)
+    rows_x = pt.logdet_rows_cm(R_cm, O_cm, backend="xla")
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rows_f), np.asarray(rows_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(jnp.sum(rows_f)), float(ld_x),
+                               rtol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        x_p, rows_p = pt.solve_and_ld_rows_cm(R_cm, O_cm, y_cm,
+                                              backend="pallas")
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_f), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rows_p), np.asarray(rows_f),
+                               atol=1e-5)
+
+    # shared-adjoint parity: grad of a weighted consumption through the
+    # fused entry == the same weights through the separate entries
+    w_cm = jnp.asarray(
+        np.random.RandomState(n).randn(*np.asarray(rows_f).shape),
+        rows_f.dtype,
+    )
+    gv = jnp.asarray(np.random.RandomState(n + 1).randn(*x_f.shape),
+                     x_f.dtype)
+
+    def fused(R, O, y):
+        x, rows = pt.solve_and_ld_rows_cm(R, O, y, backend="xla")
+        return jnp.sum(gv * x) + jnp.sum(w_cm * rows)
+
+    def separate(R, O, y):
+        x, _ = pt.solve_cm(R, O, y)
+        rows = pt.logdet_rows_cm(R, O, backend="xla")
+        return jnp.sum(gv * x) + jnp.sum(w_cm * rows)
+
+    g_f = jax.grad(fused, argnums=(0, 1, 2))(R_cm, O_cm, y_cm)
+    g_s = jax.grad(separate, argnums=(0, 1, 2))(R_cm, O_cm, y_cm)
+    for a, b in zip(g_f, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+
+
 @pytest.mark.parametrize("n", [256, 250])
 def test_pallas_selected_inversion_matches_xla(n):
     """The Pallas selected-inversion path (raw-factor forward sweep +

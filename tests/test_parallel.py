@@ -268,6 +268,88 @@ def test_seq_sharded_per_series_matches_single_device():
                                    rtol=1e-7, atol=1e-9)
 
 
+def test_seq_sharded_pallas_solve_and_inverse(monkeypatch):
+    """backend="pallas" sharded solve + selected inversion: each shard's
+    large level runs the collect/raw-factor sweep, the descending
+    back-substitution, and the Takahashi recursion as the Pallas kernels
+    inside shard_map (interpret mode); exact match to the single-device
+    engines.  (4-device mesh + _LEVEL_CHUNK=8: see
+    test_seq_sharded_pallas_backend_mahal.)"""
+    from jax.experimental.pallas import tpu as pltpu
+    from cyclic_gps_tpu.ops import partitioned as ptn
+
+    monkeypatch.setattr(seq_sharded, "_LEVEL_CHUNK", 8)
+    n, d = 2048, 3
+    diag, off, v = _well_conditioned(n, d, seed=6)
+    mesh = seq_sharded.make_seq_mesh(4)
+    with pltpu.force_tpu_interpret_mode():
+        x_p, ld_p = seq_sharded.solve(diag, off, v, mesh,
+                                      backend="pallas")
+        cd_p, co_p = seq_sharded.inverse_blocks(diag, off, mesh,
+                                                backend="pallas")
+    x, ld = ptn.solve_and_logdet(diag, off, v)
+    cd, co = ptn.inverse_blocks(diag, off)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(ld_p), float(ld), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(cd_p), np.asarray(cd),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(co_p), np.asarray(co),
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_seq_sharded_per_series_pallas_backend(monkeypatch):
+    """backend="pallas" per-series vector: the fused shard-local
+    solve+ld-rows walk (_solve_ldr_local) runs its large level as the
+    collect kernel (hat factors + lq lane) + the descending
+    back-substitution kernel inside shard_map; values and the weighted
+    gradient (whose sharded solve also runs the kernels) match the
+    single-device entry.  (4-device mesh + _LEVEL_CHUNK=8: see
+    test_seq_sharded_pallas_backend_mahal.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(seq_sharded, "_LEVEL_CHUNK", 8)
+    lengths = (900, 600, 548)  # 2048 total -> m=512/shard, c_loc=64
+    obs = 2
+    parts = [
+        generate_data(n, obs, dtype=jnp.float64, spacing="irregular",
+                      seed=90 + i)
+        for i, n in enumerate(lengths)
+    ]
+    ts = jnp.concatenate([p[0] for p in parts])
+    xs = jnp.concatenate([p[1] for p in parts])
+    ids = jnp.concatenate([
+        jnp.full((n,), i, dtype=jnp.int32) for i, n in enumerate(lengths)
+    ])
+    params = leg.init_params(jax.random.key(9), rank=2, obs_dim=obs,
+                             dtype=jnp.float64)
+    mesh = seq_sharded.make_seq_mesh(4)
+
+    with pltpu.force_tpu_interpret_mode():
+        ll_p = seq_sharded.log_likelihood_per_series(
+            params, ts, xs, ids, len(lengths), mesh, backend="pallas"
+        )
+    ll_r = leg.log_likelihood_per_series(params, ts, xs, ids,
+                                         num_series=len(lengths))
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_r),
+                               rtol=1e-10)
+
+    c = jnp.asarray([0.4, -1.2, 2.0])
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.grad(
+            lambda p: jnp.sum(c * seq_sharded.log_likelihood_per_series(
+                p, ts, xs, ids, len(lengths), mesh, backend="pallas"))
+        )(params)
+    g_r = jax.grad(
+        lambda p: jnp.sum(c * leg.log_likelihood_per_series(
+            p, ts, xs, ids, num_series=len(lengths)))
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+
 def test_seq_sharded_rejects_bad_sizes():
     diag, off, v = _well_conditioned(96, 2)  # not a power of two
     mesh = seq_sharded.make_seq_mesh(8)
