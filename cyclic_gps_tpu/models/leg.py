@@ -432,6 +432,47 @@ def _gap_terms_dense(g: Array):
     return fn
 
 
+# Gap-slab size for the streamed emission adjoint.  The whole-M adjoint
+# of the Pade pipeline holds [4r, 4r, M] augmented-Frechet temporaries
+# (~1.5 GB EACH at rank 5, M = 1e6): the irregular-grid gradient OOMs a
+# 16 GB chip beyond M ~ 2e5.  Streaming in 64 K-gap slabs bounds those
+# at ~100 MB.
+_ADJ_SLAB = 65536
+
+
+def _gap_terms_dense_streamed(g: Array, slab: int = _ADJ_SLAB):
+    """`_gap_terms_dense(g)` evaluated slab-wise under rematerialisation.
+
+    Identical values; but both the forward and the REVERSE sweep hold
+    only one slab's Pade/Frechet temporaries at a time (`lax.map` over
+    `jax.checkpoint`-ed slabs: the reverse pass recomputes each slab's
+    forward instead of storing it).  This is what makes the
+    irregular-grid likelihood differentiable at N >= 1e6 f32 — the
+    gradient replay routes through here (`_k_gap_parts_pallas_bwd`)."""
+
+    def fn(diffs):
+        m = diffs.shape[0]
+        if m <= slab:
+            return _gap_terms_dense(g)(diffs)
+        r = g.shape[0]
+        nsl = -(-m // slab)
+        d = jnp.concatenate(
+            [diffs, jnp.ones((nsl * slab - m,), diffs.dtype)]
+        )
+
+        body = jax.checkpoint(lambda dt_sl: _gap_terms_dense(g)(dt_sl))
+        off1, d_left, d_right, logq1 = jax.lax.map(
+            body, d.reshape(nsl, slab)
+        )
+
+        def em(x):  # [nsl, r, r, slab] -> [r, r, m]
+            return jnp.moveaxis(x, 0, 2).reshape(r, r, nsl * slab)[:, :, :m]
+
+        return em(off1), em(d_left), em(d_right), logq1.reshape(-1)[:m]
+
+    return fn
+
+
 def _chunk_gap_geometry(ts: Array, s: int, n: int, c: int, dtype,
                         gap_mask=None):
     """Chunk-major gap geometry: (diffs [s, C], gap_valid [s, C],
@@ -572,7 +613,10 @@ def _k_gap_parts_pallas_bwd(s, res, cots):
     c = -(-n // s)
 
     def xla(g_, boost_, ts_, mask_):
-        return _k_gap_parts_xla(g_, boost_, ts_, s, False, g.shape[0],
+        # slab-streamed gap emission: the whole-M adjoint OOMs at
+        # M >= ~2e5 (see _gap_terms_dense_streamed)
+        return _k_gap_parts_xla(_gap_terms_dense_streamed(g_), boost_,
+                                ts_, s, False, g.shape[0],
                                 g.dtype, gap_mask=mask_)
 
     _, vjp = jax.vjp(xla, g, boost, ts, gap_mask)
@@ -734,9 +778,13 @@ def _k_system_chunked(params, ts: Array, xs: Array, s: int,
             g_matrix(params), boost, ts, mask, s
         )
     else:
+        # slab-streamed dense emission: keeps the Pade pipeline's (and
+        # its adjoint's) [4r, 4r, *] temporaries at one-slab size
+        if gap_fn is None:
+            gap_fn = (g_matrix(params) if regular
+                      else _gap_terms_dense_streamed(g_matrix(params)))
         k_cm, off_cm, lq_cm = _k_gap_parts_xla(
-            gap_fn if gap_fn is not None else g_matrix(params),
-            boost, ts, s, regular, rank, dtype,
+            gap_fn, boost, ts, s, regular, rank, dtype,
             gap_mask=None if gap_mask is None else gap_mask.astype(dtype),
         )
     sig_logdet = -jnp.sum(lq_cm)

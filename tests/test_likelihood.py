@@ -105,3 +105,36 @@ def test_kalman_loss_equals_cr_loss():
     a = float(train_loop.nll_loss(params, ts, xs))
     b = float(train_loop.nll_loss_kalman(params, ts, xs))
     assert abs(a - b) < 1e-9 * max(1.0, abs(a))
+
+
+def test_streamed_gap_emission_matches_plain():
+    """Slab-streamed dense gap emission (the large-N gradient replay
+    route, `leg._gap_terms_dense_streamed`) is value- and vjp-identical
+    to the whole-M `_gap_terms_dense` — forced small slab so the
+    `lax.map`-over-checkpointed-slabs path actually runs."""
+    rng = np.random.RandomState(11)
+    r = 3
+    a = rng.randn(r, r)
+    g = jnp.asarray(0.5 * (a @ a.T) + (a - a.T) + np.eye(r))
+    dt = jnp.asarray(0.1 + rng.rand(37))  # 37 gaps, slab 8 -> 5 slabs
+
+    plain = jax.jit(lambda g_, d_: leg._gap_terms_dense(g_)(d_))
+    stream = jax.jit(
+        lambda g_, d_: leg._gap_terms_dense_streamed(g_, slab=8)(d_)
+    )
+    for x, y in zip(plain(g, dt), stream(g, dt)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-12)
+
+    def functional(fn):
+        def h(g_, d_):
+            o, dl, dr, lq = fn(g_, d_)
+            return jnp.sum(o * dl) + jnp.sum(dr ** 2) + jnp.sum(jnp.sin(lq))
+        return h
+
+    ga = jax.jit(jax.grad(functional(plain), argnums=(0, 1)))(g, dt)
+    gb = jax.jit(jax.grad(functional(stream), argnums=(0, 1)))(g, dt)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               atol=1e-11)
