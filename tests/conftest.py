@@ -31,6 +31,42 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest
 
 
+@pytest.fixture
+def no_persistent_cache_writes():
+    """Block persistent-compilation-cache WRITES around one test.
+
+    Writing certain large train-step executables to the on-disk cache
+    MID-SUITE aborts the process inside XLA:CPU serialization
+    (put_executable_and_time -> Fatal Python error: Aborted); the same
+    test run standalone writes the same entries fine, so the failure
+    depends on accumulated in-process state, not the program.
+
+    Mechanism: `_cache_write` re-reads
+    ``persistent_cache_min_compile_time_secs`` on every compile and
+    checks it BEFORE serializing, so raising it to infinity suppresses
+    exactly the crashing step while cache READS keep working (warm
+    reruns stay fast).  Note flipping ``jax_compilation_cache_dir``
+    instead disables reads but NOT writes (the write path uses a
+    one-time-latched module singleton) -- the worst of both."""
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture
+def fresh_executable_state():
+    """Release accumulated compiled executables BEFORE a test.
+
+    XLA:CPU compilation itself can SIGSEGV late in a large module
+    (backend_compile_and_load with many executables resident -- the
+    same failure mode the module-scoped clear below guards against,
+    observed WITHIN tests/test_batched.py once it grew past ~15 heavy
+    tests).  Tests observed to hit it request this fixture to start
+    from a standalone-like state."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jit_caches():
     """Release compiled executables between test modules.

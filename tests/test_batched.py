@@ -251,12 +251,16 @@ def test_per_series_weighted_gradient():
                                    rtol=1e-7, atol=1e-9)
 
 
-def test_stacked_kalman_matches_precision():
+def test_stacked_kalman_matches_precision(no_persistent_cache_writes):
     """Boundary-masked SSM (A = 0, Q = I at series starts): the Kalman
     filter restarts from the stationary prior per series exactly --
     stacked filter NLL == precision-form stacked NLL (values AND
     parameter gradient, f64), and the per-step rows segment-sum to each
-    series' own sequential-filter likelihood."""
+    series' own sequential-filter likelihood.
+
+    ``no_persistent_cache_writes``: writing this test's train-step
+    executable to the on-disk compilation cache mid-suite aborts the
+    process (see conftest); cache reads still work."""
     from cyclic_gps_tpu.baselines import kalman
     from cyclic_gps_tpu.train import loop as train_loop
 
@@ -362,10 +366,13 @@ def test_logdet_per_segment_engine():
                                rtol=1e-8, atol=1e-11)
 
 
-def test_stacked_gap_mask_pallas_parity():
+def test_stacked_gap_mask_pallas_parity(fresh_executable_state):
     """The fused K-system Pallas kernel consumes the series-boundary
     mask through its existing gap_valid input: interpret-mode parity
-    against the masked XLA assembly, values and (g, boost) gradients."""
+    against the masked XLA assembly, values and (g, boost) gradients.
+
+    ``fresh_executable_state``: XLA:CPU compilation SIGSEGVs here with
+    the module's accumulated executables resident (see conftest)."""
     from jax.experimental.pallas import tpu as pltpu
 
     rank, s, n = 3, 8, 230
