@@ -233,10 +233,15 @@ def _tn_pallas_fwd(g, diffs):
 
 
 def _tn_pallas_bwd(res, cots):
-    # the Pallas forward has no AD rule; replay the XLA construction's
-    # adjoint (identical math: same hybrid branches and clamping)
+    # the Pallas forward has no AD rule; replay the STRUCTURED Pade-7
+    # twin of the kernel math (ops/expm_pallas.tn_replay_structured):
+    # plain matmul-chain autodiff on r x r blocks, vs round 2's generic
+    # Pade-13 replay whose Frechet VJP held [4r, 4r, M] temporaries
+    # (the dominant cost of the irregular-grid gradient)
+    from cyclic_gps_tpu.ops.expm_pallas import tn_replay_structured
+
     g, diffs = res
-    _, vjp = jax.vjp(_transition_and_noise_em_xla, g, diffs)
+    _, vjp = jax.vjp(_highest_precision(tn_replay_structured), g, diffs)
     return vjp(cots)
 
 

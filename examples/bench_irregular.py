@@ -53,6 +53,17 @@ def main():
             "value": round(ms, 2), "unit": "ms",
             "ll": round(ll, 2), "compile_s": round(compile_s, 1),
         }), flush=True)
+        if rank == 5:
+            # parameter gradient: slab-streamed emission adjoint +
+            # structured Pade-7 replay (leg._tn_pallas_bwd)
+            grad_fn = jax.grad(
+                lambda p, t, x: leg.log_likelihood(p, t, x))
+            ms_g = 1e3 * timed(lambda x, t: grad_fn(params, t, x),
+                               xs, ts, iters=5)
+            print(json.dumps({
+                "metric": f"irregular_loglik_grad_n1e6_rank{rank}",
+                "value": round(ms_g, 1), "unit": "ms",
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -123,6 +123,48 @@ def test_tn_pallas_custom_vjp_matches_xla_grad():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_tn_replay_structured_matches_xla():
+    """The structured Pade-7 adjoint replay (ops/expm_pallas.
+    tn_replay_structured) matches the generic Pade-13 XLA path in value
+    AND gradient across gap scales — including lanes needing unrolled
+    squaring rounds (dt*augn > theta_7) and the branch switch.  A
+    non-normal generator exercises the augmented-norm scaling."""
+    from cyclic_gps_tpu.models import leg
+    from cyclic_gps_tpu.ops.expm_pallas import tn_replay_structured
+
+    rng = np.random.RandomState(3)
+    r = 4
+    z = rng.randn(r, r)
+    g = jnp.asarray(z @ z.T * 0.3 + (z - z.T) * 1.5 + np.eye(r),
+                    jnp.float32)
+    diffs = jnp.asarray(np.logspace(-4, 2, 300), jnp.float32)
+
+    e_x, q_x = leg._transition_and_noise_em_xla(g, diffs)
+    e_s, q_s = tn_replay_structured(g, diffs)
+    np.testing.assert_allclose(np.asarray(e_s), np.asarray(e_x),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(q_s), np.asarray(q_x),
+                               rtol=2e-4, atol=2e-5)
+
+    n = diffs.shape[0]
+    w_e = jnp.asarray(rng.randn(r, r, n), jnp.float32)
+    w_q = jnp.asarray(rng.randn(r, r, n), jnp.float32)
+
+    def grads(fn):
+        def f(g_, d_):
+            e, q = fn(g_, d_)
+            return jnp.sum(w_e * e) + jnp.sum(w_q * q)
+        return jax.grad(f, argnums=(0, 1))(g, diffs)
+
+    gx = grads(leg._transition_and_noise_em_xla)
+    gs = grads(tn_replay_structured)
+    for a, b in zip(gx, gs):
+        scale = max(np.abs(np.asarray(a)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale,
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_k_system_pallas_matches_xla():
     """The fused K-system emission kernel (interpret mode in CI) matches
     the XLA gap assembly -- values AND the custom-VJP gradient (which
