@@ -67,6 +67,86 @@ def fresh_executable_state():
     yield
 
 
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r3 #9).  The full f64 CPU suite costs 1:45 h warm
+# (one core, hundreds of large unrolled executables), so two cheaper
+# gates are published:
+#
+#   python -m pytest tests/ -m smoke -q        (~3-4 min warm)
+#   python -m pytest tests/ -m "not slow" -q   (~30 min warm)
+#
+# `smoke` is a curated allowlist covering one oracle per engine -- CR
+# (permuted-Cholesky identity + closed forms), partitioned, the Pallas
+# kernels in interpret mode, the sharded layer, stacked batching,
+# celerite, and the triple likelihood parity -- enough to catch a broken
+# engine in-session.  `slow` marks the >= 60 s tests (measured,
+# --durations from the round-4 full run); exclusion alone cannot reach
+# 5 min because the sub-10 s tail already sums past it, hence the
+# allowlist tier.  Markers declared in pytest.ini.
+# ---------------------------------------------------------------------------
+
+_SMOKE_MODULES = {
+    "test_cyclic_reduction.py",  # L0 oracle: CR == permuted Cholesky
+    "test_matrices.py",          # closed-form known matrices
+    "test_partitioned.py",       # partitioned-engine parity vs CR
+    "test_data.py",              # loaders / synthetic data
+}
+_SMOKE_TESTS = {
+    # triple likelihood parity (regular + irregular), small fixture
+    "test_log_marginal_likelihood[2-33-regular]",
+    "test_log_marginal_likelihood[2-33-irregular]",
+    # pallas kernels, interpret mode
+    "test_pallas_sweep_matches_scan[0.0]",
+    "test_pallas_solve_matches_xla[256]",
+    "test_transition_and_noise_pallas_matches_xla",
+    # stacked batching / sharded layer / celerite family
+    "test_stacked_gradient_equals_sum",
+    "test_seq_sharded_mahal_and_logdet[256-partitioned]",
+    "test_likelihood_matches_expanded_leg",
+}
+_SLOW_TESTS = {
+    # >= 60 s each in the round-4 full run (warm persistent cache)
+    "test_f32_end_to_end_train_predict",
+    "test_blocked_loglik_value_and_gradient",
+    "test_stacked_kalman_matches_precision",
+    "test_posterior_comparison_end_to_end",
+    "test_wide_solve_gradient",
+    "test_fit_example_end_to_end",
+    "test_blocked_filter_smoother_match_flat",
+    "test_posterior_method_routing",
+    "test_seq_sharded_posterior_matches_single_device",
+    "test_seq_sharded_stacked_matches_single_device",
+    "test_leg_family_facade",
+    "test_wide_mahal_gradient",
+    "test_gap_fused_likelihood_matches_xla",
+    "test_wide_solve_matches_xla[12-90-0.001]",
+    "test_data_parallel_training",
+    "test_lbfgs_training_decreases_nll",
+    "test_wide_inverse_matches_xla[12-90-0.001]",
+    "test_wide_mahal_matches_xla[12-90-0.001]",
+    "test_adam_training_decreases_nll",
+    "test_seq_sharded_pallas_backend_loglik_grad",
+    "test_seq_sharded_per_series_matches_single_device",
+    "test_seq_sharded_per_series_pallas_backend",
+    "test_log_marginal_likelihood[3-150-regular]",
+    "test_wide_solve_matches_xla[9-96-0.0]",
+    "test_wide_inverse_matches_xla[9-96-0.0]",
+    "test_steady_state_likelihood_matches_filter",
+    "test_stacked_gap_mask_pallas_parity",
+    "test_log_marginal_likelihood[3-100-regular]",
+    "test_k_system_pallas_matches_xla",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.fspath.basename
+        if module in _SMOKE_MODULES or item.name in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+        if item.name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jit_caches():
     """Release compiled executables between test modules.
