@@ -807,6 +807,25 @@ def logdet_rows(diag: Array, off: Array, s: Optional[int] = None,
     return jnp.transpose(rows_cm, (1, 0)).reshape(c * s_)[:n]
 
 
+def _rows_cotangent_guard(w, O_cm, c, s):
+    """Validity-domain guard for the analytic per-row adjoints: returns
+    a scalar that is 0.0 when the per-row cotangent ``w`` (natural
+    order, [c*s]) is constant across every NONZERO coupling of J, and
+    NaN otherwise.  Adding it to the gradient turns a misuse -- a
+    consumer differentiating individual rows of a COUPLED system, where
+    the segment-wise formula is not the adjoint -- into a loud NaN
+    instead of silently wrong values.  Valid consumers reach the rows
+    only through segment sums over block-diagonal segments, whose VJP
+    gathers the SAME scalar to every row of a segment (exact float
+    equality), so no tolerance is needed and the guard never fires for
+    them."""
+    onorm = jnp.transpose(jnp.sum(jnp.abs(O_cm), axis=(1, 2)),
+                          (1, 0)).reshape(c * s)
+    coupled = onorm[: c * s - 1] > 0
+    bad = jnp.any(coupled & (w[:-1] != w[1:]))
+    return jnp.where(bad, jnp.nan, 0.0).astype(w.dtype)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _ld_rows_cm(R_cm, O_cm, jitter, backend):
     return _ld_rows_cm_impl(R_cm, O_cm, jitter, backend)
@@ -827,12 +846,15 @@ def _ld_rows_cm_bwd(jitter, backend, res, w_cm):
     matching `_mahal_cm_bwd`'s scalar-cotangent formula per segment).
     For general per-row cotangents the true adjoint depends on the
     elimination order and this formula is NOT it; consumers must
-    segment-sum (leg.log_likelihood_per_series does)."""
+    segment-sum (leg.log_likelihood_per_series does).  A cotangent
+    outside that domain NaN-poisons the gradient
+    (`_rows_cotangent_guard`) rather than returning wrong values."""
     R_cm, O_cm = res
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
     sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
     w = jnp.transpose(w_cm, (1, 0)).reshape(c * s)  # natural order [m]
+    w = w + _rows_cotangent_guard(w, O_cm, c, s)
     g_diag = w[:, None, None] * sig_diag
     g_off = 2.0 * w[:, None, None] * sig_off
     g_R = jnp.transpose(g_diag.reshape(c, s, d, d), (1, 2, 3, 0))
@@ -1159,6 +1181,7 @@ def _solve_ldr_cm_bwd(jitter, backend, res, cots):
     u_nat, _ = _solve_from_cm(R_cm, O_cm, gx_cm, jitter, backend)
     sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
     w = jnp.transpose(w_cm, (1, 0)).reshape(c * s)
+    w = w + _rows_cotangent_guard(w, O_cm, c, s)
     zrow = jnp.zeros((1, d), x_nat.dtype)
     x_next = jnp.concatenate([x_nat[1:], zrow], axis=0)
     u_next = jnp.concatenate([u_nat[1:], zrow], axis=0)

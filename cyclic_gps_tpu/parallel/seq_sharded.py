@@ -792,6 +792,18 @@ def _rows_parts_bwd(axis, jitter, backend, res, cots):
     R, O, yt = res
     wm, wl = cots  # per-row weights (segment-constant by contract)
     shifts = _halo_shifts(axis)
+    # validity-domain guard (pt._rows_cotangent_guard's sharded twin):
+    # a per-row cotangent that differs across a NONZERO coupling is
+    # outside the segment-constant contract -- NaN-poison the local
+    # gradient (params grads are psummed upstream, so the NaN is loud)
+    # instead of returning silently wrong values.  The halo shift_up
+    # fills the global last slot with 0, where `coupled` is also 0.
+    coupled = jnp.sum(jnp.abs(O), axis=(0, 1)) > 0
+    bad = (jnp.any(coupled & (wm != shifts.shift_up(wm[None, :])[0]))
+           | jnp.any(coupled & (wl != shifts.shift_up(wl[None, :])[0])))
+    poison = jnp.where(bad, jnp.nan, 0.0).astype(wl.dtype)
+    wm = wm + poison
+    wl = wl + poison
     x, _ = _solve_local(R, O, yt, axis, jitter, backend)  # [d, m] local
     sig_diag, sig_off = _inverse_local(R, O, axis, jitter, backend)
     x_next = shifts.shift_up(x[:, None, :])[:, 0, :]     # x_{i+1} (halo)

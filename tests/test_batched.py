@@ -366,6 +366,40 @@ def test_logdet_per_segment_engine():
                                rtol=1e-8, atol=1e-11)
 
 
+def test_per_row_adjoint_guard(fresh_executable_state):
+    """The per-row analytic adjoint is only the true adjoint for
+    segment-constant cotangents over genuinely decoupled segments
+    (pt._ld_rows_cm_bwd).  Misuse -- claiming segments across NONZERO
+    couplings -- must NaN-poison the gradient rather than silently
+    return wrong values (pt._rows_cotangent_guard).
+
+    ``fresh_executable_state``: XLA:CPU compilation SIGSEGVs here with
+    the module's accumulated executables resident (see conftest)."""
+    from cyclic_gps_tpu.ops import partitioned as pt
+
+    rng = np.random.RandomState(1)
+    d, n = 3, 256
+    q = rng.randn(n, d, d)
+    diag = jnp.asarray(q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d))
+    off = jnp.asarray(rng.randn(n - 1, d, d) / d)  # fully coupled
+    ids = jnp.asarray(np.repeat(np.arange(2), [128, 128]), jnp.int32)
+
+    # misuse: distinct per-segment weights over a coupled "boundary"
+    w = jnp.asarray([1.0, -1.0])
+    g_bad = jax.grad(lambda dg: jnp.sum(w * pt.logdet_per_segment(
+        dg, off, ids, num_segments=2)))(diag)
+    assert bool(jnp.all(jnp.isnan(g_bad)))
+
+    # a cotangent constant across every coupling never trips the guard
+    # and reproduces the scalar logdet adjoint exactly
+    g_ok = jax.grad(lambda dg: jnp.sum(pt.logdet_per_segment(
+        dg, off, ids, num_segments=2)))(diag)
+    g_ref = jax.grad(lambda dg: pt.logdet(dg, off))(diag)
+    assert bool(jnp.all(jnp.isfinite(g_ok)))
+    np.testing.assert_allclose(np.asarray(g_ok), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_stacked_gap_mask_pallas_parity(fresh_executable_state):
     """The fused K-system Pallas kernel consumes the series-boundary
     mask through its existing gap_valid input: interpret-mode parity

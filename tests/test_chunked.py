@@ -214,11 +214,12 @@ def test_fused_solve_ld_rows_matches_separate(n):
                                atol=1e-5)
 
     # shared-adjoint parity: grad of a weighted consumption through the
-    # fused entry == the same weights through the separate entries
-    w_cm = jnp.asarray(
-        np.random.RandomState(n).randn(*np.asarray(rows_f).shape),
-        rows_f.dtype,
-    )
+    # fused entry == the same weights through the separate entries.
+    # The fixture is one fully-coupled system, so the per-row adjoint's
+    # validity domain is a GLOBALLY constant row cotangent (a
+    # non-constant one NaN-poisons both sides by design --
+    # pt._rows_cotangent_guard, tested in test_batched.py).
+    w_cm = jnp.full_like(rows_f, 0.7)
     gv = jnp.asarray(np.random.RandomState(n + 1).randn(*x_f.shape),
                      x_f.dtype)
 
