@@ -612,22 +612,56 @@ def _k_gap_parts_pallas_fwd(g, boost, ts, gap_mask, s):
 
 
 def _k_gap_parts_pallas_bwd(s, res, cots):
+    """ANALYTIC in-VMEM adjoint (round 4): one Pallas pass
+    (ops/expm_pallas.k_system_adjoint_pallas) maps the K-row cotangents
+    to (generator, timestamp) gradients -- replacing the round-3
+    slab-streamed XLA Pade replay (394 ms/step at rank 5, N = 1e6,
+    dominated by the direct branch's [2r, 2r] expm Frechet and slab
+    re-materialisation).  The kernel recomputes the structured Pade-7
+    forward per lane tile and reverses it in VMEM; ceil/clip scale
+    counts have zero derivative a.e., so the two routes compute the
+    same mathematical gradient.
+
+    The gap_mask cotangent is routed through the gap-geometry VJP only:
+    the 0/1 mask is a set-membership indicator whose cotangent is
+    discarded by every caller (it is derived from integer series ids or
+    a constant), so the masked-product paths' contributions are not
+    materialised."""
+    from cyclic_gps_tpu.ops.expm_pallas import k_system_adjoint_pallas
+
     g, boost, ts, gap_mask = res
     gk, goff, glq = cots
+    rank = g.shape[0]
+    dtype = g.dtype
     n = ts.shape[0]
     c = -(-n // s)
+    # kernel-tile padding chunks carry input-independent constants --
+    # their cotangents drop exactly
+    gk, goff, glq = gk[..., :c], goff[..., :c], glq[..., :c]
 
-    def xla(g_, boost_, ts_, mask_):
-        # slab-streamed gap emission: the whole-M adjoint OOMs at
-        # M >= ~2e5 (see _gap_terms_dense_streamed)
-        return _k_gap_parts_xla(_gap_terms_dense_streamed(g_), boost_,
-                                ts_, s, False, g.shape[0],
-                                g.dtype, gap_mask=mask_)
+    diffs, gap_valid, is_real = _chunk_gap_geometry(ts, s, n, c, dtype,
+                                                    gap_mask)
 
-    _, vjp = jax.vjp(xla, g, boost, ts, gap_mask)
-    # the Pallas outputs carry kernel-tile padding chunks whose values
-    # are input-independent constants -- their cotangents drop exactly
-    return vjp((gk[..., :c], goff[..., :c], glq[..., :c]))
+    # K-row cotangents -> per-GAP cotangents: d_right of gap [j, c]
+    # feeds K row [j, c]; d_left feeds row [j+1, c], crossing the chunk
+    # boundary at j = s-1 (into row [0, c+1])
+    c_dr = gk
+    wrap_next = jnp.concatenate(
+        [gk[0, :, :, 1:], jnp.zeros((rank, rank, 1), dtype)], axis=-1
+    )
+    c_dl = jnp.concatenate([gk[1:], wrap_next[None]], axis=0)
+
+    c_g_raw, c_sym, c_dt = k_system_adjoint_pallas(
+        g, diffs, gap_valid, goff, c_dl, c_dr, glq
+    )
+    c_g = c_g_raw + 0.5 * (c_sym + c_sym.T)
+    c_boost = jnp.einsum("sijc,sc->ij", gk, is_real)
+    _, geom_vjp = jax.vjp(
+        lambda t, m: _chunk_gap_geometry(t, s, n, c, dtype, m)[0],
+        ts, gap_mask,
+    )
+    c_ts, c_mask = geom_vjp(c_dt)
+    return c_g, c_boost, c_ts, c_mask
 
 
 _k_gap_parts_pallas.defvjp(_k_gap_parts_pallas_fwd, _k_gap_parts_pallas_bwd)
@@ -874,6 +908,69 @@ def log_likelihood(
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_inv_logdet
     return -0.5 * (mahal + logdet)
+
+
+@partial(jax.jit, static_argnames=("regular", "backend"))
+@_highest_precision
+def log_likelihood_residual(
+    params: LEGParams, ts: Array, xs: Array, regular: bool = False,
+    backend: str = "auto",
+) -> Array:
+    """f32-SAFE precision-form marginal log-likelihood (round 4).
+
+    Mathematically identical to `log_likelihood`; numerically organised
+    so single precision survives the smooth-fit regime that breaks the
+    naive precision form (the `train.loop.nll_loss` caveat: K's blocks
+    scale like 1/(dt lambda_min) and the two big mahal/logdet terms
+    cancel catastrophically):
+
+      * mahal: x^T LLT^{-1} x - v^T K^{-1} v is computed VARIATIONALLY
+        as r^T LLT^{-1} r + z^T Sigma^{-1} z with z = K^{-1} v the
+        posterior mean and r = x - B z the fit residual -- both terms
+        nonnegative (no cancellation) and, because the true z is the
+        MINIMISER of that quadratic, first-order insensitive to the f32
+        precision-solve's cond(K)-scale error in z.  z^T Sigma^{-1} z
+        uses the Markov factorisation
+        |z_0|^2 + sum_i |L_i^{-1} (z_{i+1} - e_i z_i)|^2 (all positive).
+      * logdet: log|K| - log|Sigma^{-1}| is accumulated PER-ROW-PAIRED,
+        sum_j (ld_row_j + log|Q1_j|): each pair is O(1) where the two
+        raw totals are ~N log(1/dt) and their difference drowns in f32
+        rounding.  The per-row pivot log-dets fall out of the same
+        sweep as the solve (pt.solve_and_ld_rows_cm).
+
+    Runs at partitioned-engine speed -- the f32 large-N irregular-grid
+    training path (the exact blocked Kalman filter costs 44.6 s/step at
+    N = 1e7 on this chip; reference analog kalman_timing_script.py:25-27
+    has no answer at that scale)."""
+    num_obs = ts.shape[0]
+    s = pt.default_chunk_len(num_obs)
+    if num_obs < max(pt._TERMINAL, 2 * s):
+        return log_likelihood(params, ts, xs, regular=regular,
+                              backend=backend)
+    llt = lambda_lambda_t(params)
+    g = g_matrix(params)
+    llt_logdet = num_obs * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
+
+    k_cm, o_cm, v_cm, _, lq_cm = _k_system_chunked(
+        params, ts, xs, s, regular, return_sig_rows=True
+    )
+    x_pad, ld_rows = pt.solve_and_ld_rows_cm(k_cm, o_cm, v_cm,
+                                             backend=backend)
+    z = x_pad[:num_obs]  # posterior mean [N, r]
+    logdet = llt_logdet + jnp.sum(ld_rows + lq_cm)
+
+    r = xs - z @ params.b.T
+    r_mahal = jnp.sum(r * jnp.linalg.solve(llt, r.T).T)
+
+    diffs = ts[1:] - ts[:-1]
+    e, q1 = transition_and_noise_em(g, diffs)  # [r, r, N-1]
+    z_em = sb.vec_to_em(z)  # [r, N]
+    dz = z_em[:, 1:] - sb.matvec(e, z_em[:, :-1])
+    lq1, invd1 = sb.cholesky(q1)
+    w = sb.solve_lower_vec(lq1, invd1, dz)
+    z_sig_z = jnp.sum(z_em[:, 0] ** 2) + jnp.sum(w * w)
+
+    return -0.5 * (r_mahal + z_sig_z + logdet)
 
 
 # ---------------------------------------------------------------------------

@@ -67,24 +67,165 @@ _MAXSQ = 40  # safety cap on the (dynamic) in-kernel squaring loop
 def _lu_solve_k(a, b):
     """A X = B by unpivoted Gaussian elimination, a [d, d, C], b
     [d, e, C].  For the Pade denominator (well-conditioned by
-    construction)."""
+    construction).
+
+    Round-4 rewrite: the elimination shrinks along dim 0 (the untiled
+    axis -- op cost proportional to its extent) with pivot rows kept as
+    a Python list, and the solution is assembled once by concatenation;
+    the round-1 masked form paid full [d, ., C] passes every
+    iteration (~2x the VPU ops)."""
     d = a.shape[0]
     m = a
     rhs = b
-    rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, d, 1), 1)
+    prows, prhs, pinvs = [], [], []
     for j in range(d):
-        piv_inv = 1.0 / m[j:j + 1, j:j + 1, :]
-        f = m[:, j:j + 1, :] * piv_inv * (rows > j).astype(a.dtype)
-        m = m - f * m[j:j + 1, :, :]
-        rhs = rhs - f * rhs[j:j + 1, :, :]
-    x = jnp.zeros_like(rhs)
+        piv_inv = 1.0 / m[0:1, j:j + 1, :]
+        prows.append(m[0:1])
+        prhs.append(rhs[0:1])
+        pinvs.append(piv_inv)
+        if j + 1 < d:
+            f = m[1:, j:j + 1, :] * piv_inv
+            m = m[1:] - f * prows[-1]
+            rhs = rhs[1:] - f * prhs[-1]
+    xrows = [None] * d
     for i in reversed(range(d)):
-        m_row = m[i:i + 1, :, :] * (cols > i).astype(a.dtype)
-        acc = rhs[i:i + 1, :, :] - _mm(m_row, x)
-        xi = acc * (1.0 / m[i:i + 1, i:i + 1, :])
-        x = x + (rows == i).astype(a.dtype) * xi
-    return x
+        acc = prhs[i]
+        for k in range(i + 1, d):
+            acc = acc - prows[i][:, k:k + 1, :] * xrows[k]
+        xrows[i] = acc * pinvs[i]
+    return jnp.concatenate(xrows, axis=0)
+
+
+def _pade7_vanloan(a, sm, eye):
+    """Structured blockwise Pade-7 of the scaled Van Loan augmented
+    matrix M = [[a, sm], [0, -a^T]]: returns (F1, G1, F3) with
+    X = (V - U)^{-1}(V + U) = [[F1, G1], [0, F3]].
+
+    ``a``/``sm`` are the SCALED [r, r, C] blocks (caller applies the
+    theta_7 scaling and runs its own squaring loop), ``eye`` the
+    caller's identity (the in-kernel caller must anchor it to kernel
+    data -- see the Mosaic constant gotcha in pallas_sweep).  Shared by
+    `_tn_math` (in-kernel) and `tn_replay_structured` (XLA adjoint
+    replay) so a numerical fix lands in both."""
+    r = a.shape[0]
+    # structured even powers: M^2k = [[a_2k, s_2k], [0, a_2k^T]]
+    a2 = _mm(a, a)
+    s2 = _mm(a, sm) - _mm(sm, a, tb=True)          # a sm + sm (-a^T)
+    a4 = _mm(a2, a2)
+    s4 = _mm(a2, s2) + _mm(s2, a2, tb=True)
+    a6 = _mm(a2, a4)
+    s6 = _mm(a2, s4) + _mm(s2, a4, tb=True)
+
+    b = _PADE7
+    p_a = b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye
+    p_s = b[7] * s6 + b[5] * s4 + b[3] * s2
+    u_tl = _mm(a, p_a)                              # odd polynomial, top
+    u_tr = _mm(a, p_s) + _mm(sm, p_a, tb=True)      # a p_s + sm p_a^T
+    v_tl = b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
+    v_tr = b[6] * s6 + b[4] * s4 + b[2] * s2
+
+    nu = v_tl + u_tl
+    de = v_tl - u_tl
+    # the bottom-right blocks of V -/+ U are Nu^T / De^T (even powers
+    # transpose, odd powers transpose with a sign flip)
+    f3 = _lu_solve_k(_swap(nu), _swap(de))
+    rhs_g = (v_tr + u_tr) - _mm(v_tr - u_tr, f3)
+    x = _lu_solve_k(de, jnp.concatenate([nu, rhs_g], axis=1))
+    return x[:, :r, :], x[:, r:, :], f3
+
+
+def _pade7_vanloan_fwd(a, sm, eye):
+    """`_pade7_vanloan` keeping every intermediate the hand-written
+    adjoint needs (`_pade7_vanloan_bwd`)."""
+    r = a.shape[0]
+    a2 = _mm(a, a)
+    s2 = _mm(a, sm) - _mm(sm, a, tb=True)
+    a4 = _mm(a2, a2)
+    s4 = _mm(a2, s2) + _mm(s2, a2, tb=True)
+    a6 = _mm(a2, a4)
+    s6 = _mm(a2, s4) + _mm(s2, a4, tb=True)
+    b = _PADE7
+    p_a = b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye
+    p_s = b[7] * s6 + b[5] * s4 + b[3] * s2
+    u_tl = _mm(a, p_a)
+    u_tr = _mm(a, p_s) + _mm(sm, p_a, tb=True)
+    v_tl = b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
+    v_tr = b[6] * s6 + b[4] * s4 + b[2] * s2
+    nu = v_tl + u_tl
+    de = v_tl - u_tl
+    f3 = _lu_solve_k(_swap(nu), _swap(de))
+    rhs_g = (v_tr + u_tr) - _mm(v_tr - u_tr, f3)
+    x = _lu_solve_k(de, jnp.concatenate([nu, rhs_g], axis=1))
+    saved = (a, sm, a2, s2, a4, s4, p_a, p_s, v_tr, u_tr, nu, de, f3, x)
+    return x[:, :r, :], x[:, r:, :], f3, saved
+
+
+def _pade7_vanloan_bwd(saved, c_f1, c_g1, c_f3):
+    """Hand-written adjoint of `_pade7_vanloan`: cotangents of the
+    scaled blocks (c_a, c_sm).  Solve adjoints use the standard
+    X = A^{-1}B rules (c_B = A^{-T} c_X, c_A = -c_B X^T); the matmul
+    chain reverses term by term."""
+    (a, sm, a2, s2, a4, s4, p_a, p_s, v_tr, u_tr, nu, de, f3, x) = saved
+    r = a.shape[0]
+    b = _PADE7
+
+    # x = de^{-1} [nu | rhs_g]
+    c_x = jnp.concatenate([c_f1, c_g1], axis=1)
+    c_b2 = _lu_solve_k(_swap(de), c_x)           # de^{-T} c_x
+    c_de = -_mm(c_b2, x, tb=True)
+    c_nu = c_b2[:, :r, :]
+    c_rhsg = c_b2[:, r:, :]
+
+    # rhs_g = (v_tr + u_tr) - (v_tr - u_tr) f3
+    c_vtr = c_rhsg
+    c_utr = c_rhsg
+    c_m = -_mm(c_rhsg, f3, tb=True)              # cotangent of (v_tr-u_tr)
+    c_vtr = c_vtr + c_m
+    c_utr = c_utr - c_m
+    c_f3 = c_f3 - _mm(v_tr - u_tr, c_rhsg, ta=True)
+
+    # f3 = swap(nu)^{-1} swap(de)
+    c_bw = _lu_solve_k(nu, c_f3)                 # swap(nu)^{-T} = nu^{-1}
+    c_de = c_de + _swap(c_bw)
+    c_nu = c_nu - _swap(_mm(c_bw, f3, tb=True))
+
+    # nu = v_tl + u_tl, de = v_tl - u_tl
+    c_vtl = c_nu + c_de
+    c_utl = c_nu - c_de
+
+    # u_tl = a p_a;  u_tr = a p_s + sm p_a^T
+    c_a = _mm(c_utl, p_a, tb=True) + _mm(c_utr, p_s, tb=True)
+    c_pa = _mm(a, c_utl, ta=True) + _mm(c_utr, sm, ta=True)
+    c_ps = _mm(a, c_utr, ta=True)
+    c_sm = _mm(c_utr, p_a)
+
+    # polynomial coefficients
+    c_a6 = b[7] * c_pa + b[6] * c_vtl
+    c_a4 = b[5] * c_pa + b[4] * c_vtl
+    c_a2 = b[3] * c_pa + b[2] * c_vtl
+    c_s6 = b[7] * c_ps + b[6] * c_vtr
+    c_s4 = b[5] * c_ps + b[4] * c_vtr
+    c_s2 = b[3] * c_ps + b[2] * c_vtr
+
+    # s6 = a2 s4 + s2 a4^T
+    c_a2 = c_a2 + _mm(c_s6, s4, tb=True)
+    c_s4 = c_s4 + _mm(a2, c_s6, ta=True)
+    c_s2 = c_s2 + _mm(c_s6, a4)
+    c_a4 = c_a4 + _mm(c_s6, s2, ta=True)
+    # a6 = a2 a4
+    c_a2 = c_a2 + _mm(c_a6, a4, tb=True)
+    c_a4 = c_a4 + _mm(a2, c_a6, ta=True)
+    # s4 = a2 s2 + s2 a2^T
+    c_a2 = c_a2 + _mm(c_s4, s2, tb=True) + _mm(c_s4, s2, ta=True)
+    c_s2 = c_s2 + _mm(a2, c_s4, ta=True) + _mm(c_s4, a2)
+    # a4 = a2 a2
+    c_a2 = c_a2 + _mm(c_a4, a2, tb=True) + _mm(a2, c_a4, ta=True)
+    # s2 = a sm - sm a^T
+    c_a = c_a + _mm(c_s2, sm, tb=True) - _mm(c_s2, sm, ta=True)
+    c_sm = c_sm + _mm(a, c_s2, ta=True) - _mm(c_s2, a)
+    # a2 = a a
+    c_a = c_a + _mm(c_a2, a, tb=True) + _mm(a, c_a2, ta=True)
+    return c_a, c_sm
 
 
 def _tn_math(half, augn, smax, g_blk, sym_blk, dt):
@@ -109,32 +250,7 @@ def _tn_math(half, augn, smax, g_blk, sym_blk, dt):
     a = g_blk * (-0.5) * scale    # [r, r, nt]
     sm = sym_blk * scale          # [r, r, nt]
 
-    # structured even powers: M^2k = [[a_2k, s_2k], [0, a_2k^T]]
-    a2 = _mm(a, a)
-    s2 = _mm(a, sm) - _mm(sm, a, tb=True)          # a sm + sm (-a^T)
-    a4 = _mm(a2, a2)
-    s4 = _mm(a2, s2) + _mm(s2, a2, tb=True)
-    a6 = _mm(a2, a4)
-    s6 = _mm(a2, s4) + _mm(s2, a4, tb=True)
-
-    b = _PADE7
-    p_a = b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye
-    p_s = b[7] * s6 + b[5] * s4 + b[3] * s2
-    u_tl = _mm(a, p_a)                              # odd polynomial, top
-    u_tr = _mm(a, p_s) + _mm(sm, p_a, tb=True)      # a p_s + sm p_a^T
-    v_tl = b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
-    v_tr = b[6] * s6 + b[4] * s4 + b[2] * s2
-
-    nu = v_tl + u_tl
-    de = v_tl - u_tl
-    # X = (V - U)^{-1}(V + U) = [[F1, G1], [0, F3]]; the bottom-right
-    # blocks of V -/+ U are Nu^T / De^T (even powers transpose, odd
-    # powers transpose with a sign flip)
-    f3 = _lu_solve_k(_swap(nu), _swap(de))
-    rhs_g = (v_tr + u_tr) - _mm(v_tr - u_tr, f3)
-    x = _lu_solve_k(de, jnp.concatenate([nu, rhs_g], axis=1))
-    f1 = x[:, :r, :]
-    g1 = x[:, r:, :]
+    f1, g1, f3 = _pade7_vanloan(a, sm, eye)
 
     # masked squaring back to the true gap, DYNAMIC trip count = the
     # batch max (XLA-side scalar); F1 squares on every lane, the Van
@@ -261,13 +377,19 @@ def tn_replay_structured(g: Array, diffs: Array):
 
       * the squaring loop is a STATIC unrolled masked loop of
         `_NSQ_REPLAY` rounds (a dynamic `while_loop` is not
-        reverse-differentiable).  Rounds needed on a cancellation-regime
-        lane = ceil(log2(dt*augn/theta7)) <= ceil(log2(augn/half_norm))
-        since dt*half_norm < 1 there and theta7 > 1: 8 rounds cover
-        norm ratios augn/half up to 2^8 — far beyond any LEG generator
-        seen in practice (ratio <~ 2 + ||G||_1/||G||_inf, typically
-        2..8); lanes past the cap would lose Pade accuracy only on
-        values the branch mask discards.
+        reverse-differentiable).  Sufficiency proof: rounds needed on
+        any lane = ceil(log2(d_vl*augn/theta7)) with d_vl*half < 1
+        (the Van Loan gap is clamped to 1/half on the direct branch),
+        so rounds <= ceil(log2(augn/(half*theta7))).  The augmented
+        inf-norm obeys augn <= half + ||S||_inf <= 2*half + ||A||_1
+        <= (2 + r)*half since ||A||_1 <= r*||A||_inf for r x r blocks,
+        hence rounds <= ceil(log2((2 + r)/theta7)): 8 rounds are exact
+        for every generator with r <= theta7*2^8 - 2 (~1000) — a
+        structural bound, not a LEG-practice assumption.  (A lane past
+        the cap would NOT be mask-discarded: clipping s_cnt inflates
+        the scaled norm past theta7 and quietly degrades Pade accuracy
+        on selected values — which is why the cap is sized from the
+        provable bound rather than typical ratios.)
       * large gaps are CLAMPED out of the Van Loan branch exactly as in
         `leg._transition_and_noise_em_xla` (a gradient-safe `where`:
         the unselected branch stays finite), and the true-gap
@@ -303,28 +425,7 @@ def tn_replay_structured(g: Array, diffs: Array):
     a = a0[:, :, None] * scale
     sm = s0[:, :, None] * scale
 
-    a2 = _mm(a, a)
-    s2 = _mm(a, sm) - _mm(sm, a, tb=True)
-    a4 = _mm(a2, a2)
-    s4 = _mm(a2, s2) + _mm(s2, a2, tb=True)
-    a6 = _mm(a2, a4)
-    s6 = _mm(a2, s4) + _mm(s2, a4, tb=True)
-
-    b = _PADE7
-    p_a = b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye
-    p_s = b[7] * s6 + b[5] * s4 + b[3] * s2
-    u_tl = _mm(a, p_a)
-    u_tr = _mm(a, p_s) + _mm(sm, p_a, tb=True)
-    v_tl = b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
-    v_tr = b[6] * s6 + b[4] * s4 + b[2] * s2
-
-    nu = v_tl + u_tl
-    de = v_tl - u_tl
-    f3 = _lu_solve_k(_swap(nu), _swap(de))
-    rhs_g = (v_tr + u_tr) - _mm(v_tr - u_tr, f3)
-    x = _lu_solve_k(de, jnp.concatenate([nu, rhs_g], axis=1))
-    f1 = x[:, :r, :]
-    g1 = x[:, r:, :]
+    f1, g1, f3 = _pade7_vanloan(a, sm, eye)
 
     for k in range(_NSQ_REPLAY):
         do = (s_cnt > float(k)).astype(dtype)[None, None, :]
@@ -370,25 +471,12 @@ def tn_replay_structured(g: Array, diffs: Array):
 
 def _chol_lanes(a):
     """Lower Cholesky of [d, d, C]: (L, inv_diag [d, 1, C],
-    sum log diag PER LANE [1, C])."""
-    d = a.shape[0]
-    x = a
-    L = jnp.zeros_like(a)
-    invd = jnp.zeros_like(a[:, 0:1, :])
-    ld = jnp.zeros_like(a[0:1, 0, :])  # [1, C]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
-    for j in range(d):
-        piv = x[j:j + 1, j:j + 1, :]
-        piv_inv = jax.lax.rsqrt(piv)
-        mask = (rows >= j).astype(a.dtype)
-        col = x[:, j:j + 1, :] * piv_inv * mask
-        onehot_row = (rows == j).astype(a.dtype)
-        L = L + jnp.swapaxes(onehot_row, 0, 1) * col
-        invd = invd + onehot_row * piv_inv
-        ld = ld + 0.5 * jnp.log(piv[0])
-        if j + 1 < d:
-            x = x - col * _swap(col)
-    return L, invd, ld
+    sum log diag PER LANE [1, C]).  Thin wrapper over the shared
+    shrinking-tail factorization (pallas_sweep._chol)."""
+    from cyclic_gps_tpu.ops.pallas_sweep import _chol
+
+    L, invd, ld = _chol(a)
+    return L, invd, ld[0]
 
 
 def _ksys_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref, boost_ref,
@@ -553,51 +641,16 @@ def _gap_row_terms(half, augn, smax, g_blk, sym_blk, dt, gv):
     return d_left, d_right, off, lq
 
 
-def _gap_sweep_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref,
-                      boost_ref, dt_ref, gv_ref, real_ref,
-                      dt0_ref, gv0_ref, real0_ref, wrap_ref, y_ref,
-                      acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref,
-                      invdl_ref, stats_ref, k0_ref, olast_ref,
-                      cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s,
-                      dleft_s, o0_s):
-    """One (chunk-tile, step) cell: construct row j+1's K blocks from
-    gap j+1 (plus gap 0 and the row-0 boundary block inside the j = 0
-    branch) and run the elimination step on them.  stats_s rows:
-    (mahal, elimination half-logdet, valid-masked sum log|Q1|)."""
+def _fused_elim_cell(j, r_j, o_j, y_j, lq_n,
+                     dl_ref, invdl_ref,
+                     cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s, o0_s):
+    """The construct-and-eliminate kernels' shared elimination cell:
+    one partitioned-sweep step (pallas_sweep._sweep_kernel's math) on
+    blocks the caller just CONSTRUCTED in VMEM.  j = 0 initialises the
+    carries from the caller-seeded left coupling o0_s; stats_s rows
+    accumulate (mahal, elimination half-logdet, caller-supplied lq)."""
     from cyclic_gps_tpu.ops.pallas_sweep import (_chol, _mm as _mmk,
                                                  _solve_lower, _swap)
-
-    j = pl.program_id(1)
-    r = g_ref.shape[0]
-    dtype = g_ref.dtype
-    eye = g_ref[:] * 0.0 + jnp.eye(r, dtype=dtype)[:, :, None]
-    boost3 = boost_ref[:]
-    half, augn, smax = half_ref[0, 0], augn_ref[0, 0], smax_ref[0, 0]
-
-    # gap j+1 terms (every step); row j+1's K diag needs gap j's d_left
-    # from the scratch carry
-    d_left_n, d_right, off_n, lq_n = _gap_row_terms(
-        half, augn, smax, g_ref[:], sym_ref[:], dt_ref[0, 0], gv_ref[0, 0]
-    )
-
-    @pl.when(j == 0)
-    def _():
-        # gap 0: seeds the d_left carry, the left coupling o0, and the
-        # chunk-boundary row 0 that streams OUT to the reduced system
-        d_left0, d_right0, off0, lq0 = _gap_row_terms(
-            half, augn, smax, g_ref[:], sym_ref[:], dt0_ref[0, 0],
-            gv0_ref[0, 0]
-        )
-        real0_3 = real0_ref[0, 0][None, None, :]
-        k0_ref[:] = eye + wrap_ref[:] + d_right0 + boost3 * real0_3
-        dleft_s[:] = d_left0
-        o0_s[:] = off0
-        stats_s[0, 2] = lq0
-
-    real3 = real_ref[0, 0][None, None, :]
-    r_j = eye + dleft_s[:] + d_right + boost3 * real3
-    o_j = off_n
-    y_j = y_ref[0]  # [r, 1, nt]
 
     @pl.when(j == 0)
     def _():
@@ -633,7 +686,11 @@ def _gap_sweep_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref,
         dl_ref[:] = D
         invdl_ref[:] = invd
 
-    dleft_s[:] = d_left_n
+
+def _fused_elim_flush(j, o_j, acc00_ref, accy0_ref, w0l_ref, wl_ref,
+                      stats_ref, olast_ref,
+                      w0_s, w_s, acc00_s, accy0_s, stats_s):
+    """Stream the elimination carries out on the last grid step."""
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -646,6 +703,59 @@ def _gap_sweep_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref,
         stats_ref[ct, 0] = stats_s[0, 0]
         stats_ref[ct, 1] = stats_s[0, 1]
         stats_ref[ct, 2] = stats_s[0, 2]
+
+
+def _gap_sweep_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref,
+                      boost_ref, dt_ref, gv_ref, real_ref,
+                      dt0_ref, gv0_ref, real0_ref, wrap_ref, y_ref,
+                      acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref,
+                      invdl_ref, stats_ref, k0_ref, olast_ref,
+                      cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s,
+                      dleft_s, o0_s):
+    """One (chunk-tile, step) cell: construct row j+1's K blocks from
+    gap j+1 (plus gap 0 and the row-0 boundary block inside the j = 0
+    branch) and run the elimination step on them.  stats_s rows:
+    (mahal, elimination half-logdet, valid-masked sum log|Q1|)."""
+    j = pl.program_id(1)
+    r = g_ref.shape[0]
+    dtype = g_ref.dtype
+    eye = g_ref[:] * 0.0 + jnp.eye(r, dtype=dtype)[:, :, None]
+    boost3 = boost_ref[:]
+    half, augn, smax = half_ref[0, 0], augn_ref[0, 0], smax_ref[0, 0]
+
+    # gap j+1 terms (every step); row j+1's K diag needs gap j's d_left
+    # from the scratch carry
+    d_left_n, d_right, off_n, lq_n = _gap_row_terms(
+        half, augn, smax, g_ref[:], sym_ref[:], dt_ref[0, 0], gv_ref[0, 0]
+    )
+
+    @pl.when(j == 0)
+    def _():
+        # gap 0: seeds the d_left carry, the left coupling o0, and the
+        # chunk-boundary row 0 that streams OUT to the reduced system
+        d_left0, d_right0, off0, lq0 = _gap_row_terms(
+            half, augn, smax, g_ref[:], sym_ref[:], dt0_ref[0, 0],
+            gv0_ref[0, 0]
+        )
+        real0_3 = real0_ref[0, 0][None, None, :]
+        k0_ref[:] = eye + wrap_ref[:] + d_right0 + boost3 * real0_3
+        dleft_s[:] = d_left0
+        o0_s[:] = off0
+        stats_s[0, 2] = lq0
+
+    real3 = real_ref[0, 0][None, None, :]
+    r_j = eye + dleft_s[:] + d_right + boost3 * real3
+    o_j = off_n
+    y_j = y_ref[0]  # [r, 1, nt]
+
+    _fused_elim_cell(j, r_j, o_j, y_j, lq_n, dl_ref, invdl_ref,
+                     cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s, o0_s)
+
+    dleft_s[:] = d_left_n
+
+    _fused_elim_flush(j, o_j, acc00_ref, accy0_ref, w0l_ref, wl_ref,
+                      stats_ref, olast_ref,
+                      w0_s, w_s, acc00_s, accy0_s, stats_s)
 
 
 def _gap_sweep_tile(r: int) -> int:
@@ -747,3 +857,264 @@ def gap_mahal_sweep_pallas(g: Array, boost: Array, dt_cm: Array,
             dl[:, :, :c], invdl[:, 0, :c],
             jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1]),
             jnp.sum(stats[:, 2]), k0[:, :, :c], olast[:, :, :c])
+
+
+# ---------------------------------------------------------------------------
+# ANALYTIC gap-emission ADJOINT kernel (round 4).  The irregular-grid
+# gradient replayed a slab-streamed XLA Pade-7 pipeline
+# (tn_replay_structured consumed by leg's emission VJP): 394 ms/step at
+# rank 5, N = 1e6, dominated by the direct branch's [2r, 2r] expm_em
+# Frechet, the q1-terms autodiff, and slab re-materialisation.  This
+# kernel computes the same cotangent chain IN VMEM per lane tile:
+#
+#   (c_off, c_d_left, c_d_right, c_log|Q1|) per gap
+#     -> q1-terms adjoint (solves against chol(Q1): exact linear algebra)
+#     -> (c_e, c_q)
+#     -> reverse of the masked squaring loop (forward round states are
+#        recomputed and STORED in VMEM stacks: all _MAXSQ rounds for F1,
+#        the first _NSQ_VL for the Van Loan blocks -- cancellation-regime
+#        lanes provably finish by then, see tn_replay_structured's cap
+#        derivation)
+#     -> the structured Pade-7 adjoint (_pade7_vanloan_bwd)
+#     -> (c_G partial sums, c_dt lanes).
+#
+# ceil/clip scale counts have zero derivative a.e., matching the XLA
+# replay's autodiff semantics exactly; the two backward routes compute
+# the same mathematical gradient and agree to f32 tolerance.
+# ---------------------------------------------------------------------------
+
+_NSQ_VL = 8  # stored Van Loan rounds: small lanes have dt*augn <
+             # augn/half <= 2 + r, so ceil(log2((2+r)/theta7)) <= 8
+             # rounds for any r <= ~1000 (same bound as tn_replay)
+
+
+def _tn_adj_cell(half, augn, smax, g_blk, sym_blk, dt, gv,
+                 c_off, c_dl, c_dr, c_lq, f1s, g1s, f3s):
+    """One lane tile of the emission adjoint: gap widths + per-gap
+    cotangents -> (c_dt [nt], c_g_cell [r, r, nt], c_sym_cell
+    [r, r, nt]) with the validity mask applied (masked gaps contribute
+    exact zeros, including to c_dt -- their clamped dt is not data)."""
+    from cyclic_gps_tpu.ops.pallas_sweep import (_solve_lower,
+                                                 _solve_lower_t)
+
+    r = g_blk.shape[0]
+    dtype = g_blk.dtype
+    eye = g_blk * 0.0 + jnp.eye(r, dtype=dtype)[:, :, None]
+    gv3 = gv[None, None, :]
+
+    # ---- forward recompute, storing squaring-round input states ----
+    small = (dt * half < 1.0).astype(dtype)[None, None, :]
+    s = jnp.ceil(jnp.log2(jnp.maximum(dt * augn / _THETA7, 1.0)))
+    s = jnp.clip(s, 0.0, float(_MAXSQ))
+    scale = (dt * jnp.exp2(-s))[None, None, :]
+    a = g_blk * (-0.5) * scale
+    sm = sym_blk * scale
+    f10, g10, f30, saved = _pade7_vanloan_fwd(a, sm, eye)
+
+    def sq_body(k, carry):
+        f1c, g1c, f3c = carry
+        f1s[pl.ds(k, 1), :, :, :] = f1c[None]
+
+        @pl.when(k < _NSQ_VL)
+        def _():
+            kc = jnp.minimum(k, _NSQ_VL - 1)
+            g1s[pl.ds(kc, 1), :, :, :] = g1c[None]
+            f3s[pl.ds(kc, 1), :, :, :] = f3c[None]
+
+        do = (s > k.astype(dtype)).astype(dtype)[None, None, :]
+        doq = do * small
+        f1n = _mm(f1c, f1c)
+        g1n = _mm(f1c, g1c) + _mm(g1c, f3c)
+        f3n = _mm(f3c, f3c)
+        return (do * f1n + (1.0 - do) * f1c,
+                doq * g1n + (1.0 - doq) * g1c,
+                doq * f3n + (1.0 - doq) * f3c)
+
+    f1, g1, f3 = jax.lax.fori_loop(0, smax, sq_body, (f10, g10, f30))
+    e = f1
+    q_vl = _mm(g1, f1, tb=True)
+    q_dir = eye - _mm(f1, f1, tb=True)
+    q = small * q_vl + (1.0 - small) * q_dir
+    q = 0.5 * (q + _swap(q))
+
+    # ---- q1-terms adjoint: (c_off, c_dl, c_dr, c_lq) -> (c_e, c_q) ----
+    L, invd, _ = _chol_lanes(q)
+
+    def msolve(x):  # Q1^{-1} x via the Cholesky (Q1 symmetric)
+        return _solve_lower_t(L, invd, _solve_lower(L, invd, x))
+
+    co = c_off * gv3
+    cdl = c_dl * gv3
+    cdr = c_dr * gv3
+    clq = (c_lq * gv)[None, None, :]
+
+    q1_inv_e = msolve(e)
+    # off = -M e, d_left = M - I, d_right = e^T M e, lq = log|Q1|
+    c_m = cdl + _mm(_mm(e, cdr), e, tb=True) - _mm(co, e, tb=True)
+    t1 = msolve(c_m)
+    c_q = -_swap(msolve(_swap(t1)))          # -M c_m M (M symmetric)
+    c_q = c_q + clq * msolve(eye)            # d log|Q1| = tr(Q1^{-1} dQ1)
+    c_e = -msolve(co) + _mm(q1_inv_e, cdr + _swap(cdr))
+
+    # ---- q-branch adjoint ----
+    c_qs = 0.5 * (c_q + _swap(c_q))
+    c_qvl = small * c_qs
+    c_qdir = (1.0 - small) * c_qs
+    c_g1 = _mm(c_qvl, f1)
+    c_f1 = (c_e + _mm(c_qvl, g1, ta=True)
+            - _mm(c_qdir, f1) - _mm(c_qdir, f1, ta=True))
+    c_f3 = c_e * 0.0  # [r, r, nt]: fori carry must keep a fixed shape
+
+    # ---- reverse masked squaring (stored round states) ----
+    def rev_body(kk, carry):
+        cf1, cg1, cf3 = carry
+        k = smax - 1 - kk
+        f1k = f1s[pl.ds(k, 1), :, :, :][0]
+        kc = jnp.minimum(k, _NSQ_VL - 1)
+        g1k = g1s[pl.ds(kc, 1), :, :, :][0]
+        f3k = f3s[pl.ds(kc, 1), :, :, :][0]
+        do = (s > k.astype(dtype)).astype(dtype)[None, None, :]
+        doq = do * small
+        # f1' = f1^2 ; g1' = f1 g1 + g1 f3 ; f3' = f3^2 (masked)
+        cf1_new = (do * (_mm(cf1, f1k, tb=True) + _mm(f1k, cf1, ta=True))
+                   + (1.0 - do) * cf1
+                   + doq * _mm(cg1, g1k, tb=True))
+        cg1_new = (doq * (_mm(f1k, cg1, ta=True) + _mm(cg1, f3k, tb=True))
+                   + (1.0 - doq) * cg1)
+        cf3_new = (doq * (_mm(g1k, cg1, ta=True)
+                          + _mm(cf3, f3k, tb=True) + _mm(f3k, cf3, ta=True))
+                   + (1.0 - doq) * cf3)
+        return cf1_new, cg1_new, cf3_new
+
+    c_f1, c_g1, c_f3 = jax.lax.fori_loop(0, smax, rev_body,
+                                         (c_f1, c_g1, c_f3))
+
+    # ---- Pade-7 adjoint -> scaled-block cotangents ----
+    c_a, c_sm = _pade7_vanloan_bwd(saved, c_f1, c_g1, c_f3)
+
+    # a = -0.5 g scale, sm = sym scale; masked gaps' clamped dt is not
+    # data (zero cotangents upstream already guarantee c_a = 0 there,
+    # but the gv mask keeps padding lanes exactly zero)
+    c_scale = jnp.sum(jnp.sum(c_a * (g_blk * -0.5) + c_sm * sym_blk,
+                              axis=0, keepdims=True),
+                      axis=1, keepdims=True)
+    c_dt = (c_scale * jnp.exp2(-s)[None, None, :])[0, 0] * gv
+    c_g_cell = c_a * (-0.5) * scale
+    c_sym_cell = c_sm * scale
+    return c_dt, c_g_cell, c_sym_cell
+
+
+def _ksys_adj_kernel(half_ref, augn_ref, smax_ref, g_ref, sym_ref,
+                     dt_ref, gv_ref, coff_ref, cdl_ref, cdr_ref, clq_ref,
+                     cdt_ref, cg_ref, csym_ref,
+                     f1s, g1s, f3s, accg_s, accsym_s):
+    """One (chunk-tile, step) cell of the K-system emission adjoint."""
+    j = pl.program_id(1)
+    c_dt, c_g_cell, c_sym_cell = _tn_adj_cell(
+        half_ref[0, 0], augn_ref[0, 0], smax_ref[0, 0],
+        g_ref[:], sym_ref[:], dt_ref[0, 0], gv_ref[0, 0],
+        coff_ref[0], cdl_ref[0], cdr_ref[0], clq_ref[0, 0],
+        f1s, g1s, f3s,
+    )
+    cdt_ref[0, 0] = c_dt
+
+    @pl.when(j == 0)
+    def _():
+        accg_s[:] = c_g_cell
+        accsym_s[:] = c_sym_cell
+
+    @pl.when(j > 0)
+    def _():
+        accg_s[:] = accg_s[:] + c_g_cell
+        accsym_s[:] = accsym_s[:] + c_sym_cell
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        cg_ref[:] = accg_s[:]
+        csym_ref[:] = accsym_s[:]
+
+
+def _adj_tile(r: int) -> int:
+    """Lane tile for the adjoint kernel: the F1 round stack alone is
+    _MAXSQ r^2 nt floats, plus ~30 live [r, r, nt] temporaries in the
+    Pade adjoint -- half the emission kernels' tile keeps it well under
+    the 16 MB scoped-vmem limit."""
+    return max(128, _tile_for_rank(r) // 2)
+
+
+@jax.jit
+def k_system_adjoint_pallas(g: Array, dt_cm: Array, gv_cm: Array,
+                            c_off_cm: Array, c_dl_cm: Array,
+                            c_dr_cm: Array, c_lq_cm: Array):
+    """Fused analytic adjoint of the gap emission.
+
+    Inputs: dt_cm/gv_cm [s, C] gaps + validity; per-GAP cotangents
+    c_off_cm/c_dl_cm/c_dr_cm [s, r, r, C] and c_lq_cm [s, C] (the
+    caller maps K-row cotangents to gap cotangents: c_dr = gk row j,
+    c_dl = gk row j+1 shifted across the chunk boundary, c_off = goff).
+    Returns (c_g [r, r] summed, c_sym [r, r] summed, c_dt [s, C]); the
+    caller combines c_g + sym(c_sym) into the generator gradient and
+    pulls c_dt through the gap-geometry VJP for timestamps."""
+    r = g.shape[0]
+    s, c = dt_cm.shape
+    nt = _adj_tile(r)
+    cpad = -(-c // nt) * nt
+    if cpad != c:
+        p = cpad - c
+        dt_cm = jnp.concatenate(
+            [dt_cm, jnp.ones((s, p), dtype=dt_cm.dtype)], axis=-1)
+        gv_cm = jnp.concatenate(
+            [gv_cm, jnp.zeros((s, p), dtype=gv_cm.dtype)], axis=-1)
+        zmat = jnp.zeros((s, r, r, p), dtype=c_off_cm.dtype)
+        c_off_cm = jnp.concatenate([c_off_cm, zmat], axis=-1)
+        c_dl_cm = jnp.concatenate([c_dl_cm, zmat], axis=-1)
+        c_dr_cm = jnp.concatenate([c_dr_cm, zmat], axis=-1)
+        c_lq_cm = jnp.concatenate(
+            [c_lq_cm, jnp.zeros((s, p), dtype=c_lq_cm.dtype)], axis=-1)
+    a_half = -0.5 * g
+    sym = 0.5 * (g + g.T)
+    half_norm = jnp.max(jnp.sum(jnp.abs(a_half), axis=1))
+    aug_norm = jnp.maximum(
+        jnp.max(jnp.sum(jnp.abs(a_half) + jnp.abs(sym), axis=1)),
+        jnp.max(jnp.sum(jnp.abs(a_half), axis=0)),
+    )
+    smax = jnp.ceil(jnp.log2(jnp.maximum(
+        jnp.max(dt_cm) * aug_norm / _THETA7, 1.0)))
+    smax = jnp.clip(smax, 0.0, float(_MAXSQ)).astype(jnp.int32)
+
+    nct = cpad // nt
+    smem = pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    const = pl.BlockSpec((r, r, 1), lambda t, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((1, 1, nt), lambda t, j: (j, 0, t),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, r, r, nt), lambda t, j: (j, 0, 0, t),
+                       memory_space=pltpu.VMEM)
+    tilemat = pl.BlockSpec((r, r, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _ksys_adj_kernel,
+        grid=(nct, s),
+        in_specs=[smem, smem, smem, const, const,
+                  lane, lane, row, row, row, lane],
+        out_specs=[pl.BlockSpec((1, 1, nt), lambda t, j: (j, 0, t),
+                                memory_space=pltpu.VMEM),
+                   tilemat, tilemat],
+        out_shape=[jax.ShapeDtypeStruct((s, 1, cpad), g.dtype),
+                   jax.ShapeDtypeStruct((r, r, cpad), g.dtype),
+                   jax.ShapeDtypeStruct((r, r, cpad), g.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((_MAXSQ, r, r, nt), g.dtype),
+            pltpu.VMEM((_NSQ_VL, r, r, nt), g.dtype),
+            pltpu.VMEM((_NSQ_VL, r, r, nt), g.dtype),
+            pltpu.VMEM((r, r, nt), g.dtype),
+            pltpu.VMEM((r, r, nt), g.dtype),
+        ],
+    )(half_norm.reshape(1, 1), aug_norm.reshape(1, 1), smax.reshape(1, 1),
+      g[:, :, None], sym[:, :, None],
+      dt_cm[:, None, :], gv_cm[:, None, :],
+      c_off_cm, c_dl_cm, c_dr_cm, c_lq_cm[:, None, :])
+    c_dt, c_g_l, c_sym_l = outs
+    return (jnp.sum(c_g_l, axis=-1), jnp.sum(c_sym_l, axis=-1),
+            c_dt[:, 0, :c])

@@ -24,9 +24,11 @@ one whole-C tile -- VMEM blowup).  Differentiability comes from the
 analytic custom VJPs in ops/partitioned.py, not from these kernels.
 
 Block math uses kernel-local helpers written in Mosaic's supported
-subset: basic slices only (no integer/None advanced indexing, no stack/
-concatenate), one-hot iota masks.  Gotcha: a CONSTANT-only RHS into the
-masked substitution sweep crashes Mosaic's vector layout pass -- anchor
+subset: basic slices (nonzero-offset slicing confined to dim 0, the
+untiled axis) and concatenation along dims 0/1 (both lower fine; the
+round-1 "no concatenate" note was stale -- the tn kernels have used it
+since round 2).  Gotcha: a CONSTANT-only RHS into the masked
+substitution sweep crashes Mosaic's vector layout pass -- anchor
 constants to kernel data (see _takahashi_kernel).
 """
 
@@ -65,56 +67,73 @@ def _chol(a):
     """Lower Cholesky of [d, d, C]; returns (L, inv_diag [d, 1, C],
     PER-LANE half log-det sum log diag L [1, 1, C] -- sum it for the
     scalar, or stream it per step for the per-row decomposition
-    (partitioned.logdet_rows))."""
+    (partitioned.logdet_rows)).
+
+    Round-4 rewrite: the factor columns and inverse diagonal are
+    assembled ONCE by concatenation and the trailing update shrinks
+    along dim 0 (the untiled vector-of-tiles axis, so op cost is
+    proportional to its extent), instead of the round-1 masked
+    whole-matrix accumulation whose every iteration paid full [d, d, C]
+    passes.  Only dim 0 is sliced at nonzero offsets -- offset slices
+    of the tiled (sublane/lane) dims are avoided (Mosaic alignment)."""
     d = a.shape[0]
-    x = a
-    L = jnp.zeros_like(a)
-    invd = jnp.zeros_like(a[:, 0:1, :])
-    ld = jnp.zeros_like(a[0:1, 0:1, :])  # [1, 1, C]
+    x = a  # rows j.. of the trailing submatrix, full width [d-j, d, C]
+    zrow = a[0:1, 0:1, :] * 0.0  # anchored zero (Mosaic constant gotcha)
+    cols = []
+    invd_rows = []
+    ld = zrow
+    c = a.shape[2]
     for j in range(d):
-        piv = x[j:j + 1, j:j + 1, :]  # [1, 1, C]
+        piv = x[0:1, j:j + 1, :]  # [1, 1, C]
         piv_inv = jax.lax.rsqrt(piv)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
-        mask = (rows >= j).astype(a.dtype)
-        col = x[:, j:j + 1, :] * piv_inv * mask  # [d, 1, C]
-        onehot_row = (rows == j).astype(a.dtype)  # [d, 1, 1]
-        onehot_col = jnp.swapaxes(onehot_row, 0, 1)  # [1, d, 1]
-        L = L + onehot_col * col
-        invd = invd + onehot_row * piv_inv
+        col = x[:, j:j + 1, :] * piv_inv  # [d-j, 1, C] (rows j..d-1)
+        if j:
+            pad = jnp.broadcast_to(zrow, (j, 1, c))
+            cols.append(jnp.concatenate([pad, col], axis=0))
+        else:
+            cols.append(col)
+        invd_rows.append(piv_inv)
         ld = ld + 0.5 * jnp.log(piv)
         if j + 1 < d:
-            x = x - col * _swap(col)
+            t = col[1:]  # [d-j-1, 1, C]
+            # full-width rank-1 downdate of rows j+1..: the row vector
+            # swap(col) occupies columns j.. with zeros above (col's
+            # leading entry lands at column j), so columns < j -- never
+            # read again -- pick up only exact zeros
+            row = _swap(cols[-1])  # [1, d, C], zeros at columns < j
+            x = x[1:] - t * row
+    L = jnp.concatenate(cols, axis=1)
+    invd = jnp.concatenate(invd_rows, axis=0)
     return L, invd, ld
 
 
 def _solve_lower(L, invd, y):
-    """L X = Y, Y [d, e, C]."""
+    """L X = Y, Y [d, e, C] (shrinking-tail residual: see _chol)."""
     d = L.shape[0]
     res = y
-    x = jnp.zeros_like(y)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
+    rows = []
     for i in range(d):
-        xi = res[i:i + 1, :, :] * invd[i:i + 1, :, :]
-        onehot = (rows == i).astype(y.dtype)
-        x = x + onehot * xi
+        xi = res[0:1, :, :] * invd[i:i + 1, :, :]
+        rows.append(xi)
         if i + 1 < d:
-            res = res - L[:, i:i + 1, :] * xi
-    return x
+            res = res[1:] - L[i + 1:, i:i + 1, :] * xi
+    return jnp.concatenate(rows, axis=0)
 
 
 def _solve_lower_t(L, invd, y):
-    """L^T X = Y, Y [d, e, C] (back substitution)."""
+    """L^T X = Y, Y [d, e, C] (back substitution; shrinking-head
+    residual)."""
     d = L.shape[0]
-    res = y
-    x = jnp.zeros_like(y)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
+    res = y  # live rows 0..i of the residual
+    rows = [None] * d
     for i in reversed(range(d)):
         xi = res[i:i + 1, :, :] * invd[i:i + 1, :, :]
-        onehot = (rows == i).astype(y.dtype)
-        x = x + onehot * xi
+        rows[i] = xi
         if i > 0:
-            res = res - _swap(L[i:i + 1, :, :]) * xi  # (L^T)[:, i] = L[i, :]
-    return x
+            # (L^T)[0:i, i] = L[i, 0:i]; slice dim 0 after the swap
+            # (offset slices of the tiled dims are avoided)
+            res = res[:i] - _swap(L[i:i + 1, :, :])[:i] * xi
+    return jnp.concatenate(rows, axis=0)
 
 
 def _pad_chunks(R_cm, O_cm, y_cm, ct):

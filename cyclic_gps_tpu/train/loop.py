@@ -144,8 +144,20 @@ def log_likelihood_per_series_kalman(
                                num_segments=num_series)
 
 
+def nll_loss_residual(params: leg.LEGParams, ts: Array,
+                      xs: Array) -> Array:
+    """f32-SAFE precision-form NLL (leg.log_likelihood_residual):
+    variational residual mahalanobis + per-row-paired log-determinants.
+    Mathematically identical to `nll_loss`, robust where it breaks at
+    single precision, and at partitioned-engine speed where
+    `nll_loss_kalman`'s exact blocked filter costs 44.6 s/step at
+    N = 1e7 irregular -- the large-N irregular-grid f32 training path."""
+    return -leg.log_likelihood_residual(params, ts, xs) / xs.size
+
+
 LOSSES = {
     "cr": nll_loss,
+    "cr_residual": nll_loss_residual,
     "kalman": nll_loss_kalman,
     "kalman_regular": nll_loss_kalman_regular,
     "kalman_ss": nll_loss_kalman_steady,
@@ -219,18 +231,28 @@ def fit(
     """Full-batch training loop (the reference's
     ``pl.Trainer(max_epochs=...).fit`` equivalent).
 
-    ``loss``: "cr" (partitioned block-tridiagonal likelihood, fastest) or
-    "kalman" (parallel-filter likelihood, robust for f32 -- see
-    nll_loss_kalman).  Default: "cr" at float64, "kalman" at float32
-    (where smooth fits make the precision form ill-conditioned).
+    ``loss``: "cr" (partitioned block-tridiagonal likelihood, fastest),
+    "cr_residual" (f32-safe precision form -- variational residual
+    mahalanobis + per-row-paired logdets, see nll_loss_residual), or
+    "kalman" (parallel-filter likelihood, also f32-robust).  Default:
+    "cr" at float64; at float32, "kalman_ss"/"kalman_regular" on uniform
+    grids and "kalman" on small irregular grids, switching to
+    "cr_residual" on LARGE irregular grids (where the exact blocked
+    filter's 44.6 s/step at N = 1e7 is the only alternative).
     """
     if loss is None:
         if xs.dtype == jnp.float64:
             loss = "cr"
         else:
+            from cyclic_gps_tpu.baselines import kalman as _k
+
             d = np.diff(np.asarray(ts))
             uniform = d.size > 0 and np.allclose(d, d[0], rtol=1e-6, atol=0)
-            loss = "kalman_regular" if uniform else "kalman"
+            if uniform:
+                loss = "kalman_regular"
+            else:
+                loss = ("cr_residual" if xs.shape[0] > _k.SMOOTHER_BLOCK
+                        else "kalman")
             if uniform and xs.shape[0] > 8 * SS_T0:
                 # steady-state fast path if the Riccati recursion is
                 # safely converged at the INITIAL parameters (margin:

@@ -217,5 +217,9 @@ def test_k_system_pallas_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         g2 = jax.grad(loss_p, argnums=(0, 1))(g, boost)
     for a, b in zip(g1, g2):
+        # f32 bar: since round 4 the pallas backward is the ANALYTIC
+        # in-VMEM adjoint kernel (expm_pallas.k_system_adjoint_pallas)
+        # -- same mathematical gradient as the XLA replay but a
+        # different f32 operation ordering (observed max rel ~1e-4)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-6, atol=1e-7)
+                                   rtol=1e-3, atol=1e-4)
