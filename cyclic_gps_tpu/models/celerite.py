@@ -296,30 +296,121 @@ def _block_gap_terms(gb: Array, diffs: Array):
     return off, d_left, d_right, logq1
 
 
+def _assemble_blockdiag(blocks: Array) -> Array:
+    """[nb, 2, 2, M] oscillator blocks -> dense block-diagonal
+    [2 nb, 2 nb, M] element-major."""
+    nb, _, _, m = blocks.shape
+    rank = 2 * nb
+    full = jnp.zeros((rank, rank, m), dtype=blocks.dtype)
+    for k in range(nb):
+        full = full.at[2 * k:2 * k + 2, 2 * k:2 * k + 2, :].set(blocks[k])
+    return full
+
+
+def gap_terms_from_blocks(gb: Array):
+    """`leg._gap_terms_dense`-compatible closure on the oscillator
+    blocks gb [nb, 2, 2]: diffs [M] -> (off1, d_left, d_right
+    [r, r, M] element-major block-diagonal, log|Q1| per gap [M]) via
+    the closed forms -- no matrix exponential.  Differentiable in gb
+    (plain elementwise autodiff), which is how the fused kernel's
+    backward replay reaches the structured parameters."""
+
+    def fn(diffs):
+        off_b, dl_b, dr_b, logq1 = _block_gap_terms(gb, diffs)
+        return (_assemble_blockdiag(off_b), _assemble_blockdiag(dl_b),
+                _assemble_blockdiag(dr_b), logq1)
+
+    return fn
+
+
 def gap_terms(params: CeleriteParams):
     """`leg._gap_terms_dense`-compatible closure: diffs [M] ->
     (off1, d_left, d_right [r, r, M] element-major block-diagonal,
     log|Q1| per gap [M]) via the closed forms -- no matrix exponential."""
-    gb = g_blocks(params)
-    rank = params.rank
-    nb = params.nblocks
+    return gap_terms_from_blocks(g_blocks(params))
 
-    def fn(diffs):
-        off_b, dl_b, dr_b, logq1 = _block_gap_terms(gb, diffs)
-        m = diffs.shape[0]
-        dtype = off_b.dtype
 
-        def assemble(blocks):
-            full = jnp.zeros((rank, rank, m), dtype=dtype)
-            for k in range(nb):
-                full = full.at[2 * k:2 * k + 2, 2 * k:2 * k + 2, :].set(
-                    blocks[k]
-                )
-            return full
+# ---------------------------------------------------------------------------
+# Mega-fused likelihood core (round 4): the O(N * nblocks) SOLVE.  The
+# closed-form emission above made the gap terms near-free, but the
+# likelihood still paid the full-rank dense block-tridiagonal solve's
+# HBM round trip -- writing then re-reading 2 r^2 N floats of (K, off)
+# blocks (~4 GB at rank 16, N = 1e6: the measured 120 ms that tied the
+# expansion path).  `ops/celerite_pallas` constructs each row's blocks
+# in VMEM from the gap widths (2x2 scalar algebra per oscillator) and
+# eliminates them in place: HBM traffic = read dt + read v + boundary
+# rows.  The backward replays the XLA closed-form route, whose adjoints
+# (solver: one solve + one selected inversion; emission: elementwise
+# autodiff) already exist.
+# ---------------------------------------------------------------------------
 
-        return assemble(off_b), assemble(dl_b), assemble(dr_b), logq1
 
-    return fn
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _cel_gap_mahal_fused(gb, boost, ts, v_cm, s):
+    """(v^T K^{-1} v, log|K|, log|Sigma^{-1}|) straight from the gap
+    widths (celerite structure, TPU f32).  ``v_cm`` [s, r, C] at the
+    TRUE chunk count C = ceil(n / s); the celerite twin of
+    `leg._gap_mahal_fused`."""
+    from cyclic_gps_tpu.ops import smallblock as sb
+    from cyclic_gps_tpu.ops.celerite_pallas import (
+        celerite_gap_mahal_sweep_pallas)
+
+    rank = 2 * gb.shape[0]
+    dtype = boost.dtype
+    n = ts.shape[0]
+    c = -(-n // s)
+    diffs, gap_valid, is_real = leg._chunk_gap_geometry(ts, s, n, c, dtype)
+
+    # chunk-crossing d_left row (gap c*s - 1 feeds row 0 of chunk c):
+    # closed form on the C boundary gaps, shifted right (zeros into
+    # chunk 0) -- see leg._k_gap_parts_pallas
+    _, dl_b, _, _ = _block_gap_terms(gb, diffs[s - 1])
+    dl_w = _assemble_blockdiag(dl_b) * gap_valid[s - 1][None, None, :]
+    wrap = jnp.concatenate(
+        [jnp.zeros((rank, rank, 1), dtype=dtype), dl_w[:, :, :-1]], axis=-1
+    )
+    (acc00, accy0, w0l, wl, dl, invdl, mh, ld, lq_sum, k0,
+     olast) = celerite_gap_mahal_sweep_pallas(
+        gb, boost, diffs, gap_valid, is_real, wrap, v_cm)
+    state = pt._SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
+    w1 = sb.solve_lower(dl, invdl, sb.transpose(olast))
+    red_diag, red_off, red_rhs = pt._reduced_system(
+        k0[None], v_cm[:1], state, w1
+    )
+    red_mh, red_ld = pt._mahal_and_logdet_impl(
+        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
+        sb.vec_from_em(red_rhs), None, 0.0,
+    )
+    return mh + red_mh, 2.0 * ld + red_ld, -lq_sum
+
+
+def _cel_gap_mahal_fused_fwd(gb, boost, ts, v_cm, s):
+    return (_cel_gap_mahal_fused(gb, boost, ts, v_cm, s),
+            (gb, boost, ts, v_cm))
+
+
+def _cel_gap_mahal_fused_bwd(s, res, cots):
+    """Replay the XLA closed-form route (gap emission -> chunk-major
+    mahal): the solver part's custom VJP is analytic (one solve + one
+    selected inversion) and the emission is plain elementwise autodiff
+    through the 2x2 closed forms."""
+    gb, boost, ts, v_cm = res
+    rank = 2 * gb.shape[0]
+
+    def ref(gb_, boost_, ts_, v_):
+        k_cm, off_cm, lq_cm = leg._k_gap_parts_xla(
+            gap_terms_from_blocks(gb_), boost_, ts_, s, False, rank,
+            boost_.dtype,
+        )
+        mh, ld = pt.mahal_and_logdet_cm(k_cm, off_cm, v_, backend="auto")
+        return mh, ld, -jnp.sum(lq_cm)
+
+    _, vjp = jax.vjp(ref, gb, boost, ts, v_cm)
+    return vjp(cots)
+
+
+_cel_gap_mahal_fused.defvjp(_cel_gap_mahal_fused_fwd,
+                            _cel_gap_mahal_fused_bwd)
 
 
 @partial(jax.jit, static_argnames=("regular", "backend"))
@@ -329,12 +420,15 @@ def log_likelihood(
 ) -> Array:
     """Marginal log-likelihood under the celerite structure.
 
-    Large N runs the closed-form gap emission (`gap_terms`) straight
-    into the partitioned engine's chunk-major system -- the O(nblocks)
-    emission the celerite kernel class is defined by, bypassing the
-    full-rank Pade pipeline entirely.  Small N falls back to the
-    expansion path (`expand` + leg.log_likelihood), which doubles as the
-    parity oracle (tests/test_celerite.py)."""
+    Large N on TPU f32 runs the MEGA-FUSED celerite sweep: closed-form
+    2x2 gap terms constructed in VMEM and eliminated in place
+    (`ops/celerite_pallas`) -- the O(N * nblocks) total-inference path
+    the celerite kernel class is defined by (HBM traffic ~r N floats
+    instead of the dense solve's ~6 r^2 N).  Large N elsewhere runs the
+    closed-form gap emission (`gap_terms`) into the partitioned
+    engine's chunk-major system.  Small N falls back to the expansion
+    path (`expand` + leg.log_likelihood), which doubles as the parity
+    oracle (tests/test_celerite.py)."""
     num_obs = ts.shape[0]
     s = pt.default_chunk_len(num_obs)
     if num_obs < max(pt._TERMINAL, 2 * s):
@@ -344,11 +438,23 @@ def log_likelihood(
     x_llt_inv = jnp.linalg.solve(llt, xs.T).T
     llt_mahal = jnp.sum(x_llt_inv * xs)
     llt_logdet = num_obs * jnp.linalg.slogdet(2.0 * jnp.pi * llt)[1]
-    k_cm, o_cm, v_cm, sig_inv_logdet = leg._k_system_chunked(
-        params, ts, xs, s, regular, gap_fn=gap_terms(params)
+    use_fused = (
+        params.n_diag.dtype == jnp.float32
+        and pt.resolve_backend(backend) == "pallas"
     )
-    k_mahal, k_logdet = pt.mahal_and_logdet_cm(k_cm, o_cm, v_cm,
-                                               backend=backend)
+    if use_fused:
+        c = -(-num_obs // s)
+        boost = params.b.T @ jnp.linalg.solve(llt, params.b)
+        v_cm = leg._v_chunk_major(params, xs, llt, s, c, llt.dtype)
+        k_mahal, k_logdet, sig_inv_logdet = _cel_gap_mahal_fused(
+            g_blocks(params), boost, ts, v_cm, s
+        )
+    else:
+        k_cm, o_cm, v_cm, sig_inv_logdet = leg._k_system_chunked(
+            params, ts, xs, s, regular, gap_fn=gap_terms(params)
+        )
+        k_mahal, k_logdet = pt.mahal_and_logdet_cm(k_cm, o_cm, v_cm,
+                                                   backend=backend)
     mahal = llt_mahal - k_mahal
     logdet = llt_logdet + k_logdet - sig_inv_logdet
     return -0.5 * (mahal + logdet)

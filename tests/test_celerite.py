@@ -141,6 +141,40 @@ def test_fast_likelihood_matches_expansion_large_n():
     np.testing.assert_allclose(float(ll_fr), float(ll_or), rtol=1e-10)
 
 
+def test_fused_celerite_sweep_matches_expansion():
+    """The mega-fused celerite sweep (ops/celerite_pallas: closed-form
+    2x2 blocks constructed in VMEM, eliminated in place -- the
+    O(N * nblocks) solve) == the expansion oracle and the XLA
+    closed-form route: values and structured-parameter gradients.
+    Interpret mode in CI; f32 fixtures (the kernel's dispatch dtype)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, obs, n = 2, 1, 300
+    ts, xs = generate_data(n, obs, dtype=jnp.float32, spacing="irregular",
+                           seed=17)
+    p = celerite.init_params(jax.random.key(3), nb, obs, dtype=jnp.float32)
+    p = p._replace(r_sub=jnp.asarray([1.2, -0.5], jnp.float32),
+                   n_sub=jnp.asarray([0.4, 0.7], jnp.float32))
+
+    ll_x = celerite.log_likelihood(p, ts, xs, backend="xla")
+    ll_o = leg.log_likelihood(celerite.expand(p), ts, xs, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        ll_f = celerite.log_likelihood(p, ts, xs, backend="pallas")
+    np.testing.assert_allclose(float(ll_f), float(ll_x), rtol=2e-5)
+    np.testing.assert_allclose(float(ll_f), float(ll_o), rtol=2e-5)
+
+    g_x = jax.grad(
+        lambda q: celerite.log_likelihood(q, ts, xs, backend="xla")
+    )(p)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(
+            lambda q: celerite.log_likelihood(q, ts, xs, backend="pallas")
+        )(p)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_training_in_reduced_space():
     """Optimisation moves only the structured parameters and the NLL
     decreases (gradients flow through the expansion)."""
