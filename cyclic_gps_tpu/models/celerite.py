@@ -242,23 +242,33 @@ def _block_e_terms(gb: Array, diffs: Array):
     return ecm1, esnc, alpha, beta, gamma
 
 
-def _block_gap_terms(gb: Array, diffs: Array):
-    """Closed-form per-block `leg._q1_terms`: (off, d_left, d_right
-    [nb, 2, 2, M], logq1 [M]) -- everything the precision assembly needs,
-    built from 2x2 scalar algebra (adjugate inverses, exact 2x2 dets)."""
+def _block_eq_terms(gb: Array, diffs: Array):
+    """Closed-form per-block (E = e - I, Q = I - e e^T) ENTRIES, each
+    [nb, M]: ((E00, E01, E10, E11), (Q00, Q01, Q11)).  Q is computed as
+    -(E + E^T + E E^T), exact at working precision for any gap (no
+    cancellation against I).  The (e, Q) pair is everything the
+    covariance-form chunked filter needs -- note NO inverse appears, so
+    dt = 0 (masked/padded gaps) degenerates cleanly to (I, 0)."""
     ecm1, esnc, al, be, ga = _block_e_terms(gb, diffs)
-    # E and e = I + E entries
     e00_m1 = ecm1 + esnc * al   # E_00
     e01 = esnc * be
     e10 = esnc * ga
     e11_m1 = ecm1 - esnc * al   # E_11
-    e00 = 1.0 + e00_m1
-    e11 = 1.0 + e11_m1
 
-    # Q1 = -(E + E^T + E E^T), exact at working precision for any gap
     q00 = -(2.0 * e00_m1 + e00_m1 * e00_m1 + e01 * e01)
     q11 = -(2.0 * e11_m1 + e11_m1 * e11_m1 + e10 * e10)
     q01 = -(e01 + e10 + e00_m1 * e10 + e01 * e11_m1)
+    return (e00_m1, e01, e10, e11_m1), (q00, q01, q11)
+
+
+def _block_gap_terms(gb: Array, diffs: Array):
+    """Closed-form per-block `leg._q1_terms`: (off, d_left, d_right
+    [nb, 2, 2, M], logq1 [M]) -- everything the precision assembly needs,
+    built from 2x2 scalar algebra (adjugate inverses, exact 2x2 dets)."""
+    (e00_m1, e01, e10, e11_m1), (q00, q01, q11) = _block_eq_terms(gb,
+                                                                  diffs)
+    e00 = 1.0 + e00_m1
+    e11 = 1.0 + e11_m1
 
     det = q00 * q11 - q01 * q01
     inv_det = 1.0 / det
@@ -411,6 +421,166 @@ def _cel_gap_mahal_fused_bwd(s, res, cots):
 
 _cel_gap_mahal_fused.defvjp(_cel_gap_mahal_fused_fwd,
                             _cel_gap_mahal_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Chunked conditional-filter likelihood (round 4): the true O(N r^2 q)
+# celerite solve.  The mega-fused sweep above still ELIMINATES dense
+# r x r blocks (O(r^3)/step Cholesky + solves); the covariance-form
+# filter needs only O(r^2 q)/step -- see ops/chunked_filter.py for the
+# chunk-parallel decomposition (conditional filter per chunk + exact
+# boundary-chain integral).  This XLA entry is the oracle/CPU path; the
+# TPU hot path is the Pallas twin (ops/celerite_pallas).
+# ---------------------------------------------------------------------------
+
+
+def _filter_inputs(params: CeleriteParams, ts: Array, xs: Array, s: int):
+    """Chunk-major (e, Q, y, valid) inputs for the conditional filter:
+    e/q [s, C, r, r] batch-major block-diagonal (masked gaps exactly
+    (I, 0)), y [s, C, q], valid [s, C]."""
+    gb = g_blocks(params)
+    rank = 2 * gb.shape[0]
+    dtype = gb.dtype
+    n = ts.shape[0]
+    c = -(-n // s)
+    diffs, gap_valid, is_real = leg._chunk_gap_geometry(ts, s, n, c, dtype)
+
+    flat = diffs.reshape(-1)                      # [s*C], j-major
+    (e00m, e01, e10, e11m), (q00, q01, q11) = _block_eq_terms(gb, flat)
+    z = jnp.zeros_like(e00m)
+
+    def m22(a, b, cc, d):
+        return jnp.stack(
+            [jnp.stack([a, b], -2), jnp.stack([cc, d], -2)], -3
+        )  # [nb, 2, 2, M]
+
+    def cm(x_em):  # [r, r, s*C] -> [s, C, r, r]
+        return jnp.transpose(x_em.reshape(rank, rank, s, c), (2, 3, 0, 1))
+
+    gv = gap_valid.reshape(-1)[None, None, None, :]
+    e_full = cm(
+        _assemble_blockdiag(m22(e00m, e01, e10, e11m) * gv)
+    ) + jnp.eye(rank, dtype=dtype)
+    q_full = cm(_assemble_blockdiag(m22(q00, q01, q01, q11) * gv))
+
+    m = c * s
+    qd = xs.shape[1]
+    xs_pad = jnp.concatenate(
+        [xs, jnp.zeros((m - n, qd), dtype=xs.dtype)], axis=0
+    )
+    y_cm = jnp.transpose(xs_pad.reshape(c, s, qd), (1, 0, 2))  # [s, C, q]
+    return e_full, q_full, y_cm, is_real
+
+
+@partial(jax.jit, static_argnames=("backend",))
+@leg._highest_precision
+def log_likelihood_filter(params: CeleriteParams, ts: Array, xs: Array,
+                          backend: str = "auto") -> Array:
+    """Marginal log-likelihood via the chunk-parallel conditional Kalman
+    filter (ops/chunked_filter): O(N r^2 q) total work instead of the
+    block-elimination's O(N r^3) -- the compute scaling the celerite
+    kernel class is defined by.  Exact (same chunk decomposition as the
+    partitioned engine, in covariance form); f32-safe (innovation form).
+
+    ``backend="pallas"``/TPU f32 runs the fused Pallas sweep
+    (closed-form (e, Q) constructed in VMEM, filter recursion in VMEM,
+    only per-chunk boundary statistics reach HBM); elsewhere the XLA
+    scan twin."""
+    from cyclic_gps_tpu.ops import chunked_filter as cf
+
+    num_obs = ts.shape[0]
+    s = pt.default_chunk_len(num_obs)
+    if num_obs < max(pt._TERMINAL, 2 * s):
+        return leg.log_likelihood(expand(params), ts, xs)
+    lam = leg.lambda_lambda_t(params)
+    use_pallas = (
+        params.n_diag.dtype == jnp.float32
+        and pt.resolve_backend(backend) == "pallas"
+    )
+    if use_pallas:
+        out = _cel_filter_pallas(g_blocks(params), params.b, lam, ts, xs, s)
+    else:
+        e_cm, q_cm, y_cm, valid = _filter_inputs(params, ts, xs, s)
+        out = cf.conditional_filter_xla(e_cm, q_cm, params.b, lam, y_cm,
+                                        valid)
+    nq = jnp.asarray(num_obs * xs.shape[1], dtype=lam.dtype)
+    return cf.boundary_loglik(out, nq)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _cel_filter_pallas(gb, b, lam, ts, xs, s):
+    from cyclic_gps_tpu.ops import chunked_filter as cf
+    from cyclic_gps_tpu.ops.celerite_pallas import (
+        celerite_filter_sweep_pallas)
+
+    n = ts.shape[0]
+    c = -(-n // s)
+    dtype = gb.dtype
+    diffs, gap_valid, is_real = leg._chunk_gap_geometry(ts, s, n, c, dtype)
+    m = c * s
+    qd = xs.shape[1]
+    xs_pad = jnp.concatenate(
+        [xs, jnp.zeros((m - n, qd), dtype=xs.dtype)], axis=0
+    )
+    # [s, q, C]: natural row i = c*s + j at [j, :, c]
+    y_cm = jnp.transpose(xs_pad.reshape(c, s, qd), (1, 2, 0))
+    (H, h, c0, ld_s, f_map, a_map, p_map) = celerite_filter_sweep_pallas(
+        gb, b, lam, diffs, gap_valid, is_real, y_cm
+    )
+    return cf.ChunkFilterOut(H, h, c0, ld_s, f_map, a_map, p_map)
+
+
+def _cel_filter_pallas_fwd(gb, b, lam, ts, xs, s):
+    return _cel_filter_pallas(gb, b, lam, ts, xs, s), (gb, b, lam, ts, xs)
+
+
+def _cel_filter_pallas_bwd(s, res, cots):
+    """Replay the XLA filter twin (plain scan autodiff; exact same
+    recursion, so gradients match the kernel's primal exactly)."""
+    from cyclic_gps_tpu.ops import chunked_filter as cf
+
+    gb, b, lam, ts, xs = res
+
+    def ref(gb_, b_, lam_, ts_, xs_):
+        rank = 2 * gb_.shape[0]
+        n = ts_.shape[0]
+        c = -(-n // s)
+        dtype = gb_.dtype
+        diffs, gap_valid, is_real = leg._chunk_gap_geometry(
+            ts_, s, n, c, dtype)
+        flat = diffs.reshape(-1)
+        (e00m, e01, e10, e11m), (q00, q01, q11) = _block_eq_terms(gb_,
+                                                                  flat)
+
+        def m22(a, bb, cc, d):
+            return jnp.stack(
+                [jnp.stack([a, bb], -2), jnp.stack([cc, d], -2)], -3
+            )
+
+        def cm(x_em):
+            return jnp.transpose(
+                x_em.reshape(rank, rank, s, c), (2, 3, 0, 1)
+            )
+
+        gv = gap_valid.reshape(-1)[None, None, None, :]
+        e_full = cm(
+            _assemble_blockdiag(m22(e00m, e01, e10, e11m) * gv)
+        ) + jnp.eye(rank, dtype=dtype)
+        q_full = cm(_assemble_blockdiag(m22(q00, q01, q01, q11) * gv))
+        m = c * s
+        qd = xs_.shape[1]
+        xs_pad = jnp.concatenate(
+            [xs_, jnp.zeros((m - n, qd), dtype=xs_.dtype)], axis=0
+        )
+        y_cm = jnp.transpose(xs_pad.reshape(c, s, qd), (1, 0, 2))
+        return tuple(cf.conditional_filter_xla(e_full, q_full, b_, lam_,
+                                               y_cm, is_real))
+
+    _, vjp = jax.vjp(ref, gb, b, lam, ts, xs)
+    return vjp(tuple(cots))
+
+
+_cel_filter_pallas.defvjp(_cel_filter_pallas_fwd, _cel_filter_pallas_bwd)
 
 
 @partial(jax.jit, static_argnames=("regular", "backend"))

@@ -1,0 +1,173 @@
+"""Chunk-parallel CONDITIONAL Kalman filter: the O(N r^2 q) solve.
+
+The precision-form partitioned engine eliminates dense [r, r] blocks at
+O(r^3) work per step (Cholesky + triangular solves + Schur products).
+When the transition is structured (celerite: block-diagonal 2x2
+oscillators) the covariance-form Kalman filter needs only O(r^2 q) per
+step -- no r x r factorization at all, just q x q innovation inverses --
+but a filter is sequential across the whole series.  This module makes
+it chunk-parallel EXACTLY:
+
+  * Split the series into C chunks of s rows.  Interiors are
+    conditionally independent given the boundary latents z_{b_c}
+    (Markov property) -- the same decomposition the partitioned
+    elimination engine uses (ops/partitioned.py), in covariance form.
+  * Per chunk, run a Kalman filter CONDITIONED on the unknown boundary
+    state z = z_{b_c}: with a deterministic-but-unknown init, every
+    filter mean is AFFINE in z (m_j = a_j + F_j z) while the
+    covariances P_j, innovation covariances S_j and gains K_j do not
+    depend on z.  Accumulate the innovation quadratic
+        sum_j |y_j - B m_j|^2_{S_j^{-1}}
+          = z^T H z - 2 h^T z + c0,    H = sum F_j^T B^T S_j^{-1} B F_j
+    plus sum log|S_j|, and the end-of-chunk map
+    p(z_{b_{c+1}} | y_c, z) = N(a_s + F_s z, P_s).
+  * The boundary latents then carry a C-node Gaussian chain whose
+    block-tridiagonal precision/rhs are assembled from (H, h, F_s, a_s,
+    P_s^{-1}); its (mahal, logdet) -- the existing partitioned reduced
+    machinery -- finishes the marginal likelihood in closed form.
+
+Exactness: verified against the dense O(N^3) marginal likelihood to
+machine precision (tests/test_celerite.py).  Numerics: the innovation
+form is the f32-SAFE organisation (S_j >= Lambda; the one r x r
+inverse per CHUNK, P_s, has s-step-composed conditioning, not
+single-gap conditioning), and masked/padded gaps degenerate cleanly
+because only Q -- never Q^{-1} -- appears (dt = 0 gives e = I, Q = 0:
+an exact no-op step).
+
+Reference being completed: the celerite total-inference story the
+`CeleriteFamily` sketch points at (cyclic_gps/models.py:552-592); the
+reference itself solves nothing faster than its dense-block CR.
+
+This XLA implementation is the parity oracle and CPU path; the TPU hot
+path constructs (e, Q) closed-form in VMEM and runs the same recursion
+as a Pallas kernel (ops/celerite_pallas.celerite_filter_sweep_pallas).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cyclic_gps_tpu.ops import partitioned as pt
+
+Array = jnp.ndarray
+
+
+class ChunkFilterOut(NamedTuple):
+    """Per-chunk conditional-filter sufficient statistics (batch-major).
+
+    H [C, r, r], h [C, r], c0 [C], ld_s [C]: the innovation quadratic
+    z^T H z - 2 h^T z + c0 and sum log|S_j| of chunk c as a function of
+    its boundary latent z.  f_map [C, r, r], a_map [C, r], p_map
+    [C, r, r]: the boundary map z_{b_{c+1}} | z_{b_c} = z ~
+    N(a + F z, P) (row C-1's map crosses the series end and is unused).
+    """
+
+    H: Array
+    h: Array
+    c0: Array
+    ld_s: Array
+    f_map: Array
+    a_map: Array
+    p_map: Array
+
+
+def conditional_filter_xla(e_cm: Array, q_cm: Array, bmat: Array,
+                           lam: Array, y_cm: Array,
+                           valid_cm: Array) -> ChunkFilterOut:
+    """Batched conditional Kalman filters, one per chunk (XLA scan).
+
+    e_cm / q_cm [s, C, r, r]: transition / process noise of the gap
+    FOLLOWING row j of chunk c (row s-1's gap crosses into chunk c+1);
+    invalid gaps MUST carry e = I, q = 0 (exact no-op).  y_cm [s, C, q]
+    observations; valid_cm [s, C] 1.0 where row (j, c) is a real
+    observation.  bmat [q, r], lam [q, q] observation model."""
+    s, c, r, _ = e_cm.shape
+    qd = bmat.shape[0]
+    dtype = e_cm.dtype
+    eye_r = jnp.eye(r, dtype=dtype)
+
+    def step(carry, inp):
+        a, F, P, H, h, c0, ld = carry
+        e, q, y, v = inp
+        # ---- update (masked by v) ----
+        S = jnp.einsum("ai,cij,bj->cab", bmat, P, bmat) + lam[None]
+        Si = jnp.linalg.inv(S)
+        resid = y - jnp.einsum("ai,ci->ca", bmat, a)
+        Gj = jnp.einsum("ai,cij->caj", bmat, F)          # [C, q, r]
+        SiG = jnp.einsum("cab,cbj->caj", Si, Gj)
+        Sr = jnp.einsum("cab,cb->ca", Si, resid)
+        vv = v[:, None, None]
+        H = H + vv * jnp.einsum("cai,caj->cij", Gj, SiG)
+        h = h + v[:, None] * jnp.einsum("cai,ca->ci", Gj, Sr)
+        c0 = c0 + v * jnp.einsum("ca,ca->c", resid, Sr)
+        ld = ld + v * jnp.linalg.slogdet(S)[1]
+        PBt = jnp.einsum("cij,aj->cia", P, bmat)         # [C, r, q]
+        K = jnp.einsum("cia,cab->cib", PBt, Si)          # [C, r, q]
+        a = a + v[:, None] * jnp.einsum("cia,ca->ci", K, resid)
+        F = F - vv * jnp.einsum("cia,caj->cij", K, Gj)
+        P = P - vv * jnp.einsum("cia,cja->cij", K, PBt)
+        # ---- predict through the following gap ----
+        a = jnp.einsum("cij,cj->ci", e, a)
+        F = jnp.einsum("cij,cjk->cik", e, F)
+        P = jnp.einsum("cij,cjk,clk->cil", e, P, e) + q
+        return (a, F, P, H, h, c0, ld), None
+
+    init = (
+        jnp.zeros((c, r), dtype),
+        jnp.broadcast_to(eye_r, (c, r, r)).astype(dtype),
+        jnp.zeros((c, r, r), dtype),
+        jnp.zeros((c, r, r), dtype),
+        jnp.zeros((c, r), dtype),
+        jnp.zeros((c,), dtype),
+        jnp.zeros((c,), dtype),
+    )
+    (a, F, P, H, h, c0, ld), _ = jax.lax.scan(
+        step, init, (e_cm, q_cm, y_cm, valid_cm)
+    )
+    return ChunkFilterOut(H, h, c0, ld, F, a, P)
+
+
+def boundary_loglik(out: ChunkFilterOut, nq_total: Array,
+                    jitter: float = 0.0) -> Array:
+    """Finish the marginal log-likelihood from per-chunk statistics.
+
+    Integrates the boundary-latent chain exactly: a C-node Gaussian
+    chain with block-tridiagonal precision assembled from the chunk
+    quadratics and maps, solved by the partitioned engine.  ``nq_total``
+    is the total number of observed SCALARS (sum of valid rows times
+    obs_dim) for the 2-pi normalisation."""
+    H, h, c0, ld_s, F, a, P = out
+    c, r, _ = H.shape
+    dtype = H.dtype
+    log2pi = jnp.log(2.0 * jnp.pi).astype(dtype)
+    eye_r = jnp.eye(r, dtype=dtype)
+
+    Pm, Fm, am = P[:-1], F[:-1], a[:-1]
+    chol = jnp.linalg.cholesky(Pm + jitter * eye_r[None])
+    ld_p = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+    )
+    pinv = jax.scipy.linalg.cho_solve(
+        (chol, True), jnp.broadcast_to(eye_r, Pm.shape)
+    )
+    pi_f = jnp.einsum("cij,cjk->cik", pinv, Fm)
+    pi_a = jnp.einsum("cij,cj->ci", pinv, am)
+
+    diag = H.at[0].add(eye_r)                       # prior z_0 ~ N(0, I)
+    diag = diag.at[:-1].add(jnp.einsum("cki,ckj->cij", Fm, pi_f))
+    diag = diag.at[1:].add(pinv)
+    off = -pi_f                                     # block (c+1, c)
+    rhs = h.at[:-1].add(-jnp.einsum("cki,ck->ci", Fm, pi_a))
+    rhs = rhs.at[1:].add(pi_a)
+
+    const = (
+        nq_total * log2pi + r * log2pi
+        + jnp.sum(c0) + jnp.sum(ld_s)
+        + jnp.sum(jnp.einsum("ci,ci->c", am, pi_a))
+        + jnp.sum(ld_p) + (c - 1) * r * log2pi
+    )
+    mah, ld_k = pt.mahal_and_logdet(diag, off, rhs, jitter=jitter)
+    return -0.5 * (const + ld_k - mah) + 0.5 * c * r * log2pi

@@ -175,6 +175,37 @@ def test_fused_celerite_sweep_matches_expansion():
                                    rtol=5e-3, atol=5e-4)
 
 
+def test_chunked_filter_likelihood_matches_engine():
+    """The chunk-parallel conditional Kalman filter (the O(N r^2 q)
+    celerite solve, ops/chunked_filter.py) == the precision-engine
+    route == the expansion oracle, value and gradient (CPU f64, XLA
+    twin).  The chunk decomposition (per-chunk filter conditioned on
+    the boundary latent + exact boundary-chain integral) must be exact,
+    not approximate."""
+    nb, obs, n = 2, 2, 700  # > max(_TERMINAL, 2s): chunked path engages
+    ts, xs = generate_data(n, obs, dtype=jnp.float64, spacing="irregular",
+                           seed=23)
+    p = celerite.init_params(jax.random.key(9), nb, obs, dtype=jnp.float64)
+    p = p._replace(r_sub=jnp.asarray([1.1, -0.6]),
+                   n_sub=jnp.asarray([0.2, 0.9]))
+
+    ll_new = celerite.log_likelihood_filter(p, ts, xs, backend="xla")
+    ll_old = celerite.log_likelihood(p, ts, xs, backend="xla")
+    ll_orc = leg.log_likelihood(celerite.expand(p), ts, xs, backend="xla")
+    np.testing.assert_allclose(float(ll_new), float(ll_old), rtol=1e-11)
+    np.testing.assert_allclose(float(ll_new), float(ll_orc), rtol=1e-11)
+
+    g_new = jax.grad(
+        lambda q: celerite.log_likelihood_filter(q, ts, xs, backend="xla")
+    )(p)
+    g_old = jax.grad(
+        lambda q: celerite.log_likelihood(q, ts, xs, backend="xla")
+    )(p)
+    for a, b in zip(jax.tree.leaves(g_new), jax.tree.leaves(g_old)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-10)
+
+
 def test_training_in_reduced_space():
     """Optimisation moves only the structured parameters and the NLL
     decreases (gradients flow through the expansion)."""
