@@ -963,14 +963,54 @@ def log_likelihood_residual(
     r_mahal = jnp.sum(r * jnp.linalg.solve(llt, r.T).T)
 
     diffs = ts[1:] - ts[:-1]
-    e, q1 = transition_and_noise_em(g, diffs)  # [r, r, N-1]
     z_em = sb.vec_to_em(z)  # [r, N]
-    dz = z_em[:, 1:] - sb.matvec(e, z_em[:, :-1])
-    lq1, invd1 = sb.cholesky(q1)
-    w = sb.solve_lower_vec(lq1, invd1, dz)
-    z_sig_z = jnp.sum(z_em[:, 0] ** 2) + jnp.sum(w * w)
+    z_sig_z = (jnp.sum(z_em[:, 0] ** 2)
+               + _residual_quad_streamed(g, diffs, z_em))
 
     return -0.5 * (r_mahal + z_sig_z + logdet)
+
+
+def _residual_quad_streamed(g: Array, diffs: Array, z_em: Array,
+                            slab: int = _ADJ_SLAB) -> Array:
+    """sum_i |L_i^{-1} (z_{i+1} - e_i z_i)|^2 (the Markov-factorised
+    posterior-mean quadratic of `log_likelihood_residual`), evaluated in
+    gap slabs under rematerialisation.
+
+    The whole-M form differentiates `transition_and_noise_em` over all
+    gaps at once; its structured-Pade replay adjoint holds ~10 [r, r, M]
+    / [2r, 2r, M] temporaries, which OOMs HBM at M = 1e7 (observed:
+    35 GB requested on the 16 GB chip).  `lax.map` over
+    `jax.checkpoint`-ed slabs bounds both sweeps at one slab's
+    temporaries, same as `_gap_terms_dense_streamed`.  Padded gaps
+    carry z = 0 on both ends, so their residual is exactly zero."""
+
+    def quad(dt_sl, z0_sl, z1_sl):
+        e, q1 = transition_and_noise_em(g, dt_sl)
+        dz = z1_sl - sb.matvec(e, z0_sl)
+        lq1, invd1 = sb.cholesky(q1)
+        w = sb.solve_lower_vec(lq1, invd1, dz)
+        return jnp.sum(w * w)
+
+    m = diffs.shape[0]
+    if m <= slab:
+        return quad(diffs, z_em[:, :-1], z_em[:, 1:])
+    r = z_em.shape[0]
+    nsl = -(-m // slab)
+    pad = nsl * slab - m
+    d = jnp.concatenate([diffs, jnp.ones((pad,), diffs.dtype)])
+    zpad = jnp.zeros((r, pad), dtype=z_em.dtype)
+
+    def slabs(zx):  # [r, m] -> [nsl, r, slab]
+        return jnp.moveaxis(
+            jnp.concatenate([zx, zpad], axis=1).reshape(r, nsl, slab),
+            1, 0)
+
+    body = jax.checkpoint(lambda args: quad(*args))
+    sums = jax.lax.map(
+        body, (d.reshape(nsl, slab), slabs(z_em[:, :-1]),
+               slabs(z_em[:, 1:]))
+    )
+    return jnp.sum(sums)
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cyclic_gps_tpu.ops.expm_pallas import (_fused_elim_cell,
                                             _fused_elim_flush)
+from cyclic_gps_tpu.ops.pallas_sweep import (_chol, _mm, _solve_lower,
+                                             _solve_lower_t, _swap)
 
 Array = jnp.ndarray
 
@@ -62,11 +64,11 @@ def _expm1k(x):
     return jnp.where(small, poly, jnp.exp(x) - 1.0)
 
 
-def _osc_gap_terms(gbv, dt3):
+def _osc_core(gbv, dt3):
     """Closed-form gap terms for ALL oscillators on one lane tile,
     stacked along the SUBLANE axis: gbv [nb, 4, 1] (VMEM, entries
     g00/g01/g10/g11 per row) + dt3 [1, 1, nt] -> the 2x2 entries of
-    (E = e - I, e, Q1, Q1^{-1}) and det Q1, all [nb, 1, nt].  Mirrors
+    E = e - I and Q1, all [nb, 1, nt].  Mirrors
     `models.celerite._block_e_terms` / `_block_gap_terms` exactly (same
     branch cuts), restricted to Mosaic-supported elementwise ops.
 
@@ -121,20 +123,37 @@ def _osc_gap_terms(gbv, dt3):
     e01 = esnc * be
     e10 = esnc * ga
     e11_m1 = ecm1 - esnc * al
-    e00 = 1.0 + e00_m1
-    e11 = 1.0 + e11_m1
 
     # Q1 = -(E + E^T + E E^T): exact at working precision for any gap
     q00 = -(2.0 * e00_m1 + e00_m1 * e00_m1 + e01 * e01)
     q11 = -(2.0 * e11_m1 + e11_m1 * e11_m1 + e10 * e10)
     q01 = -(e01 + e10 + e00_m1 * e10 + e01 * e11_m1)
+    return (e00_m1, e01, e10, e11_m1), (q00, q01, q11)
 
+
+def _osc_gap_terms(gbv, dt3):
+    """(e 2x2 entries, Q1^{-1} upper entries, det Q1), all [nb, 1, nt]:
+    the precision-sweep emission (`_cel_row_terms`)."""
+    (e00_m1, e01, e10, e11_m1), (q00, q01, q11) = _osc_core(gbv, dt3)
+    e00 = 1.0 + e00_m1
+    e11 = 1.0 + e11_m1
     det = q00 * q11 - q01 * q01
     inv_det = 1.0 / det
     i00 = q11 * inv_det
     i01 = -q01 * inv_det
     i11 = q00 * inv_det
     return (e00, e01, e10, e11), (i00, i01, i11), det
+
+
+def _osc_eq_terms(gbv, dt3, gv3):
+    """Validity-masked covariance-form gap terms: e = I + gv * E and
+    Q = gv * Q1, 2x2 entries [nb, 1, nt].  A masked gap (gv = 0) is the
+    exact no-op step (e = I, Q = 0) the conditional filter requires --
+    only Q, never Q^{-1}, appears (ops/chunked_filter docstring)."""
+    (e00_m1, e01, e10, e11_m1), (q00, q01, q11) = _osc_core(gbv, dt3)
+    return ((1.0 + gv3 * e00_m1, gv3 * e01, gv3 * e10,
+             1.0 + gv3 * e11_m1),
+            (gv3 * q00, gv3 * q01, gv3 * q11))
 
 
 def _assemble_blockdiag(entries, z3):
@@ -342,3 +361,176 @@ def celerite_gap_mahal_sweep_pallas(gb: Array, boost: Array, dt_cm: Array,
             dl[:, :, :c], invdl[:, 0, :c],
             jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1]),
             jnp.sum(stats[:, 2]), k0[:, :, :c], olast[:, :, :c])
+
+
+# ---------------------------------------------------------------------------
+# Chunk-parallel conditional Kalman filter: the O(N r^2 q) celerite solve
+# ---------------------------------------------------------------------------
+
+
+def _bd_left(ee, x):
+    """Block-diagonal left product e @ x for x [r, w, nt]: per
+    oscillator k, rows (2k, 2k+1) mix through its 2x2 -- O(r w) lane
+    FMAs total instead of the dense product's O(r^2 w).  ``ee`` is the
+    (e00, e01, e10, e11) tuple of [nb, 1, nt] stacks."""
+    e00, e01, e10, e11 = ee
+    nb = e00.shape[0]
+    rows = []
+    for k in range(nb):
+        x0 = x[2 * k:2 * k + 1]
+        x1 = x[2 * k + 1:2 * k + 2]
+        rows.append(e00[k:k + 1] * x0 + e01[k:k + 1] * x1)
+        rows.append(e10[k:k + 1] * x0 + e11[k:k + 1] * x1)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _cel_filter_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref, real_ref,
+                       y_ref, hq_ref, hl_ref, c0_ref, lds_ref, f_ref,
+                       am_ref, pm_ref, a_s, f_s, p_s, hq_s, hl_s, sc_s):
+    """One (chunk-tile, step) cell of the conditional Kalman filter
+    (ops/chunked_filter.conditional_filter_xla's recursion, verbatim):
+    masked innovation update at row j, then a closed-form-(e, Q)
+    predict through the following gap.  Carries live in VMEM scratch
+    across the step grid; only the per-chunk boundary statistics are
+    written out (at j = s-1).  Per-step work is O(r^2 q) lane FMAs --
+    no r x r factorization (the q x q innovation Cholesky is the only
+    factor) -- which is the celerite scaling the kernel exists for."""
+    j = pl.program_id(1)
+    s = pl.num_programs(1)
+    r = f_s.shape[0]
+
+    z3 = dt_ref[0:1, 0:1, :] * 0.0          # anchored [1, 1, nt] zero
+    eye_r = z3 + jnp.eye(r, dtype=f_s.dtype)[:, :, None]
+
+    @pl.when(j == 0)
+    def _():
+        a_s[:] = jnp.broadcast_to(z3, a_s.shape)
+        f_s[:] = eye_r
+        p_s[:] = jnp.broadcast_to(z3, p_s.shape)
+        hq_s[:] = jnp.broadcast_to(z3, hq_s.shape)
+        hl_s[:] = jnp.broadcast_to(z3, hl_s.shape)
+        sc_s[:] = jnp.broadcast_to(z3, sc_s.shape)
+
+    v3 = real_ref[0:1, 0:1, :]              # [1, 1, nt]
+    bv = b_ref[:]                           # [q, r, 1]
+    a = a_s[:]
+    F = f_s[:]
+    P = p_s[:]
+
+    # ---- innovation update (masked by v3; S >= Lambda always SPD) ----
+    BP = _mm(bv, P)                          # [q, r, nt]
+    Gj = _mm(bv, F)                          # [q, r, nt]
+    resid = y_ref[0] - _mm(bv, a)            # [q, 1, nt]
+    S = _mm(BP, bv, tb=True) + lam_ref[:]    # [q, q, nt]
+    L, invd, ldh = _chol(S)
+    sr = _solve_lower_t(L, invd, _solve_lower(L, invd, resid))
+    X = _solve_lower_t(L, invd, _solve_lower(L, invd, Gj))
+    X2 = _solve_lower_t(L, invd, _solve_lower(L, invd, BP))
+    PBt = _swap(BP)                          # [r, q, nt] (P symmetric)
+    hq_s[:] = hq_s[:] + v3 * _mm(Gj, X, ta=True)
+    hl_s[:] = hl_s[:] + v3 * _mm(Gj, sr, ta=True)
+    sc_s[0:1] = sc_s[0:1] + v3 * _mm(resid, sr, ta=True)   # c0
+    sc_s[1:2] = sc_s[1:2] + v3 * 2.0 * ldh                 # sum log|S|
+    a = a + v3 * _mm(PBt, sr)
+    F = F - v3 * _mm(PBt, X)
+    P = P - v3 * _mm(PBt, X2)
+
+    # ---- predict through the following gap (masked: exact no-op) ----
+    ee, qq = _osc_eq_terms(gb_ref[:], dt_ref[:], gv_ref[:])
+    q00, q01, q11 = qq
+    nb = q00.shape[0]
+    q_e = [((q00[k:k + 1], q01[k:k + 1]), (q01[k:k + 1], q11[k:k + 1]))
+           for k in range(nb)]
+    a_s[:] = _bd_left(ee, a)
+    f_s[:] = _bd_left(ee, F)
+    p_s[:] = _bd_left(ee, _swap(_bd_left(ee, P))) + _assemble_blockdiag(
+        q_e, z3)
+
+    @pl.when(j == s - 1)
+    def _():
+        hq_ref[:] = hq_s[:]
+        hl_ref[:] = hl_s[:]
+        c0_ref[:] = sc_s[0:1]
+        lds_ref[:] = sc_s[1:2]
+        f_ref[:] = f_s[:]
+        am_ref[:] = a_s[:]
+        pm_ref[:] = p_s[:]
+
+
+@jax.jit
+def celerite_filter_sweep_pallas(gb: Array, b: Array, lam: Array,
+                                 dt_cm: Array, gv_cm: Array,
+                                 real_cm: Array, y_cm: Array):
+    """Fused conditional-filter sweep: per-chunk boundary statistics of
+    the O(N r^2 q) celerite solve, computed entirely in VMEM.
+
+    gb [nb, 2, 2] oscillator blocks; b [q, r], lam [q, q] observation
+    model; dt_cm/gv_cm/real_cm [s, C] (gap following row j of chunk c,
+    its validity, row-observed mask); y_cm [s, q, C] observations.
+    Returns `ops.chunked_filter.ChunkFilterOut` in its batch-major
+    convention (H [C, r, r], h [C, r], c0/ld_s [C], boundary map
+    F/a/P) -- the XLA twin `conditional_filter_xla` is the recursion
+    oracle (tests/test_celerite.py)."""
+    nb = gb.shape[0]
+    r = 2 * nb
+    qd = b.shape[0]
+    s, c = dt_cm.shape
+    dtype = b.dtype
+    nt = _cel_tile(r)
+    cpad = -(-c // nt) * nt
+    if cpad != c:
+        p = cpad - c
+        dt_cm = jnp.concatenate(
+            [dt_cm, jnp.ones((s, p), dtype=dt_cm.dtype)], axis=-1)
+        gv_cm = jnp.concatenate(
+            [gv_cm, jnp.zeros((s, p), dtype=gv_cm.dtype)], axis=-1)
+        real_cm = jnp.concatenate(
+            [real_cm, jnp.zeros((s, p), dtype=real_cm.dtype)], axis=-1)
+        y_cm = jnp.concatenate(
+            [y_cm, jnp.zeros((s, qd, p), dtype=y_cm.dtype)], axis=-1)
+
+    nct = cpad // nt
+    vmem_gb = pl.BlockSpec((nb, 4, 1), lambda t, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    vmem_b = pl.BlockSpec((qd, r, 1), lambda t, j: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vmem_lam = pl.BlockSpec((qd, qd, 1), lambda t, j: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((1, 1, nt), lambda t, j: (j, 0, t),
+                        memory_space=pltpu.VMEM)
+    stepy = pl.BlockSpec((1, qd, 1, nt), lambda t, j: (j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    tilemat = pl.BlockSpec((r, r, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    tilevec = pl.BlockSpec((r, 1, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    tilelane = pl.BlockSpec((1, 1, nt), lambda t, j: (0, 0, t),
+                            memory_space=pltpu.VMEM)
+    mat = jax.ShapeDtypeStruct((r, r, cpad), dtype)
+    vec = jax.ShapeDtypeStruct((r, 1, cpad), dtype)
+    sca = jax.ShapeDtypeStruct((1, 1, cpad), dtype)
+    outs = pl.pallas_call(
+        _cel_filter_kernel,
+        grid=(nct, s),
+        in_specs=[vmem_gb, vmem_b, vmem_lam, lane, lane, lane, stepy],
+        out_specs=[tilemat, tilevec, tilelane, tilelane, tilemat,
+                   tilevec, tilemat],
+        out_shape=[mat, vec, sca, sca, mat, vec, mat],
+        scratch_shapes=[
+            pltpu.VMEM((r, 1, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((r, 1, nt), dtype),
+            pltpu.VMEM((2, 1, nt), dtype),
+        ],
+    )(gb.reshape(nb, 4, 1), b[:, :, None], lam[:, :, None],
+      dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :],
+      y_cm[:, :, None, :])
+    hq, hl, c0, lds, f_map, a_map, p_map = outs
+    return (jnp.transpose(hq[:, :, :c], (2, 0, 1)),
+            jnp.transpose(hl[:, 0, :c], (1, 0)),
+            c0[0, 0, :c], lds[0, 0, :c],
+            jnp.transpose(f_map[:, :, :c], (2, 0, 1)),
+            jnp.transpose(a_map[:, 0, :c], (1, 0)),
+            jnp.transpose(p_map[:, :, :c], (2, 0, 1)))

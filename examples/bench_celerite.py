@@ -65,14 +65,26 @@ def main():
             lambda t, x: leg.log_likelihood(expanded, t, x), ts, xs,
             iters=20)
 
+        t0 = time.time()
+        ll_f = float(celerite.log_likelihood_filter(p, ts, xs))
+        f_s = time.time() - t0
+        assert np.isfinite(ll_f), ll_f
+        ms_f = 1e3 * timed(
+            lambda t, x: celerite.log_likelihood_filter(p, t, x), ts, xs,
+            iters=20)
+
         rel = abs(ll_c - ll_e) / abs(ll_e)
+        rel_f = abs(ll_f - ll_e) / abs(ll_e)
         print(json.dumps({
             "metric": f"celerite_loglik_n1e6_nblocks{nb}",
             "closed_form_ms": round(ms_c, 2),
+            "filter_ms": round(ms_f, 2),
             "expanded_ms": round(ms_e, 2),
             "speedup": round(ms_e / ms_c, 2),
+            "speedup_filter": round(ms_e / ms_f, 2),
             "ll_rel_diff": float(f"{rel:.2e}"),
-            "compile_s": [round(c_s, 1), round(e_s, 1)],
+            "ll_rel_diff_filter": float(f"{rel_f:.2e}"),
+            "compile_s": [round(c_s, 1), round(e_s, 1), round(f_s, 1)],
         }), flush=True)
 
 

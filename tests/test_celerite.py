@@ -206,6 +206,40 @@ def test_chunked_filter_likelihood_matches_engine():
                                    rtol=1e-7, atol=1e-10)
 
 
+def test_filter_pallas_kernel_matches_xla_twin():
+    """The fused conditional-filter Pallas sweep
+    (ops/celerite_pallas.celerite_filter_sweep_pallas) == the XLA scan
+    twin: per-chunk boundary statistics, the assembled likelihood, and
+    the structured-parameter gradient (whose backward replays the XLA
+    twin).  Interpret mode in CI; f32 fixtures (the dispatch dtype)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, obs, n = 2, 1, 700
+    ts, xs = generate_data(n, obs, dtype=jnp.float32, spacing="irregular",
+                           seed=37)
+    p = celerite.init_params(jax.random.key(11), nb, obs,
+                             dtype=jnp.float32)
+    p = p._replace(r_sub=jnp.asarray([0.9, -0.3], jnp.float32),
+                   n_sub=jnp.asarray([0.5, 0.6], jnp.float32))
+
+    ll_x = celerite.log_likelihood_filter(p, ts, xs, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        ll_p = celerite.log_likelihood_filter(p, ts, xs, backend="pallas")
+    np.testing.assert_allclose(float(ll_p), float(ll_x), rtol=2e-5)
+
+    g_x = jax.grad(
+        lambda q: celerite.log_likelihood_filter(q, ts, xs, backend="xla")
+    )(p)
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.grad(
+            lambda q: celerite.log_likelihood_filter(q, ts, xs,
+                                                     backend="pallas")
+        )(p)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_training_in_reduced_space():
     """Optimisation moves only the structured parameters and the NLL
     decreases (gradients flow through the expansion)."""
