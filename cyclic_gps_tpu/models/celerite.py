@@ -31,6 +31,7 @@ import numpy as np
 
 from cyclic_gps_tpu.models import leg
 from cyclic_gps_tpu.ops import partitioned as pt
+from cyclic_gps_tpu.ops import smallblock as sb
 
 Array = jnp.ndarray
 
@@ -497,13 +498,13 @@ def log_likelihood_filter(params: CeleriteParams, ts: Array, xs: Array,
         params.n_diag.dtype == jnp.float32
         and pt.resolve_backend(backend) == "pallas"
     )
+    nq = jnp.asarray(num_obs * xs.shape[1], dtype=lam.dtype)
     if use_pallas:
         out = _cel_filter_pallas(g_blocks(params), params.b, lam, ts, xs, s)
-    else:
-        e_cm, q_cm, y_cm, valid = _filter_inputs(params, ts, xs, s)
-        out = cf.conditional_filter_xla(e_cm, q_cm, params.b, lam, y_cm,
-                                        valid)
-    nq = jnp.asarray(num_obs * xs.shape[1], dtype=lam.dtype)
+        return cf.boundary_loglik_em(out, nq)
+    e_cm, q_cm, y_cm, valid = _filter_inputs(params, ts, xs, s)
+    out = cf.conditional_filter_xla(e_cm, q_cm, params.b, lam, y_cm,
+                                    valid)
     return cf.boundary_loglik(out, nq)
 
 
@@ -524,10 +525,10 @@ def _cel_filter_pallas(gb, b, lam, ts, xs, s):
     )
     # [s, q, C]: natural row i = c*s + j at [j, :, c]
     y_cm = jnp.transpose(xs_pad.reshape(c, s, qd), (1, 2, 0))
-    (H, h, c0, ld_s, f_map, a_map, p_map) = celerite_filter_sweep_pallas(
+    # element-major stats, straight into boundary_loglik_em
+    return celerite_filter_sweep_pallas(
         gb, b, lam, diffs, gap_valid, is_real, y_cm
     )
-    return cf.ChunkFilterOut(H, h, c0, ld_s, f_map, a_map, p_map)
 
 
 def _cel_filter_pallas_fwd(gb, b, lam, ts, xs, s):
@@ -573,8 +574,12 @@ def _cel_filter_pallas_bwd(s, res, cots):
             [xs_, jnp.zeros((m - n, qd), dtype=xs_.dtype)], axis=0
         )
         y_cm = jnp.transpose(xs_pad.reshape(c, s, qd), (1, 0, 2))
-        return tuple(cf.conditional_filter_xla(e_full, q_full, b_, lam_,
-                                               y_cm, is_real))
+        H, h, c0, ld, F, a, P = cf.conditional_filter_xla(
+            e_full, q_full, b_, lam_, y_cm, is_real)
+        # element-major, matching the pallas primal's output layout
+        # (the transposes run in the backward replay only)
+        return (sb.to_em(H), sb.vec_to_em(h), c0, ld,
+                sb.to_em(F), sb.vec_to_em(a), sb.to_em(P))
 
     _, vjp = jax.vjp(ref, gb, b, lam, ts, xs)
     return vjp(tuple(cots))

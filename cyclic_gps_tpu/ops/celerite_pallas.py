@@ -412,7 +412,14 @@ def _cel_filter_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref, real_ref,
         sc_s[:] = jnp.broadcast_to(z3, sc_s.shape)
 
     v3 = real_ref[0:1, 0:1, :]              # [1, 1, nt]
-    bv = b_ref[:]                           # [q, r, 1]
+    # materialize the lane-constant observation model to full lane
+    # width with SINGLE-axis broadcasts: _mm's [q, 1, 1] slices of a
+    # [q, r, 1] operand would broadcast in both sublanes and lanes at
+    # once, which real Mosaic rejects (interpret mode accepts it) --
+    # same pattern as _cel_sweep_kernel's boost3 * real3
+    one_lane = z3 + 1.0                     # anchored [1, 1, nt] ones
+    bv = b_ref[:] * one_lane                # [q, r, nt]
+    lamf = lam_ref[:] * one_lane            # [q, q, nt]
     a = a_s[:]
     F = f_s[:]
     P = p_s[:]
@@ -421,7 +428,7 @@ def _cel_filter_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref, real_ref,
     BP = _mm(bv, P)                          # [q, r, nt]
     Gj = _mm(bv, F)                          # [q, r, nt]
     resid = y_ref[0] - _mm(bv, a)            # [q, 1, nt]
-    S = _mm(BP, bv, tb=True) + lam_ref[:]    # [q, q, nt]
+    S = _mm(BP, bv, tb=True) + lamf          # [q, q, nt]
     L, invd, ldh = _chol(S)
     sr = _solve_lower_t(L, invd, _solve_lower(L, invd, resid))
     X = _solve_lower_t(L, invd, _solve_lower(L, invd, Gj))
@@ -467,10 +474,12 @@ def celerite_filter_sweep_pallas(gb: Array, b: Array, lam: Array,
     gb [nb, 2, 2] oscillator blocks; b [q, r], lam [q, q] observation
     model; dt_cm/gv_cm/real_cm [s, C] (gap following row j of chunk c,
     its validity, row-observed mask); y_cm [s, q, C] observations.
-    Returns `ops.chunked_filter.ChunkFilterOut` in its batch-major
-    convention (H [C, r, r], h [C, r], c0/ld_s [C], boundary map
-    F/a/P) -- the XLA twin `conditional_filter_xla` is the recursion
-    oracle (tests/test_celerite.py)."""
+    Returns the statistics ELEMENT-MAJOR -- (H [r, r, C], h [r, C],
+    c0 [C], ld_s [C], F [r, r, C], a [r, C], P [r, r, C]), consumed by
+    `chunked_filter.boundary_loglik_em` with no layout transposes (the
+    batch-major conversion round-tripped ~40 MB of HBM and cost more
+    than the sweep itself).  The XLA twin `conditional_filter_xla` is
+    the recursion oracle (tests/test_celerite.py)."""
     nb = gb.shape[0]
     r = 2 * nb
     qd = b.shape[0]
@@ -528,9 +537,5 @@ def celerite_filter_sweep_pallas(gb: Array, b: Array, lam: Array,
       dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :],
       y_cm[:, :, None, :])
     hq, hl, c0, lds, f_map, a_map, p_map = outs
-    return (jnp.transpose(hq[:, :, :c], (2, 0, 1)),
-            jnp.transpose(hl[:, 0, :c], (1, 0)),
-            c0[0, 0, :c], lds[0, 0, :c],
-            jnp.transpose(f_map[:, :, :c], (2, 0, 1)),
-            jnp.transpose(a_map[:, 0, :c], (1, 0)),
-            jnp.transpose(p_map[:, :, :c], (2, 0, 1)))
+    return (hq[:, :, :c], hl[:, 0, :c], c0[0, 0, :c], lds[0, 0, :c],
+            f_map[:, :, :c], a_map[:, 0, :c], p_map[:, :, :c])

@@ -171,3 +171,59 @@ def boundary_loglik(out: ChunkFilterOut, nq_total: Array,
     )
     mah, ld_k = pt.mahal_and_logdet(diag, off, rhs, jitter=jitter)
     return -0.5 * (const + ld_k - mah) + 0.5 * c * r * log2pi
+
+
+def boundary_loglik_em(stats_em, nq_total: Array,
+                       jitter: float = 0.0) -> Array:
+    """`boundary_loglik` on ELEMENT-MAJOR per-chunk statistics.
+
+    stats_em = (H [r, r, C], h [r, C], c0 [C], ld_s [C], F [r, r, C],
+    a [r, C], P [r, r, C]) -- the layout the Pallas filter sweep
+    produces natively.  Same math as `boundary_loglik`; the small-block
+    element-major algebra replaces the batched [C, r, r] dense linalg
+    (on TPU, [r, r] einsum matmuls MXU-pad to 128x128 and the [C, r, r]
+    <-> [r, r, C] transposes round-trip ~40 MB of HBM at C ~ 8e3 --
+    together they cost more than the filter sweep kernel itself)."""
+    from cyclic_gps_tpu.ops import smallblock as sb
+
+    H, h, c0, ld_s, F, a, P = stats_em
+    r, _, c = H.shape
+    dtype = H.dtype
+    log2pi = jnp.log(2.0 * jnp.pi).astype(dtype)
+
+    Pm, Fm, am = P[..., :-1], F[..., :-1], a[..., :-1]
+    lp, invd = sb.cholesky(Pm, jitter=jitter)
+    ld_p_total = 2.0 * sb.chol_log_diag_sum(lp)
+    pinv = sb.solve_lower_t(
+        lp, invd, sb.solve_lower(lp, invd, sb.identity_like(Pm))
+    )
+    pi_f = sb.matmul(pinv, Fm)
+    pi_a = sb.solve_lower_t_vec(lp, invd, sb.solve_lower_vec(lp, invd, am))
+
+    def pad_right(x):
+        return jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (1,), dtype)], axis=-1)
+
+    def pad_left(x):
+        return jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (1,), dtype), x], axis=-1)
+
+    eye0 = jnp.concatenate(
+        [jnp.eye(r, dtype=dtype)[:, :, None],
+         jnp.zeros((r, r, c - 1), dtype)], axis=-1)  # prior z_0 ~ N(0, I)
+    diag = H + eye0 + pad_right(sb.matmul(Fm, pi_f, ta=True)) \
+        + pad_left(pinv)
+    off = -pi_f                                      # block (c+1, c)
+    rhs = h + pad_right(-sb.matvec(Fm, pi_a, ta=True)) + pad_left(pi_a)
+
+    const = (
+        nq_total * log2pi + r * log2pi
+        + jnp.sum(c0) + jnp.sum(ld_s)
+        + jnp.sum(am * pi_a)
+        + ld_p_total + (c - 1) * r * log2pi
+    )
+    mah, ld_k = pt.mahal_and_logdet(
+        sb.from_em(diag), sb.from_em(off), sb.vec_from_em(rhs),
+        jitter=jitter,
+    )
+    return -0.5 * (const + ld_k - mah) + 0.5 * c * r * log2pi
