@@ -11,10 +11,12 @@ kalman_timing_script.py:25-27 -- the reference has no answer at this
 scale on ANY grid.
 
 Fixture note (f32 time resolution): 10^7 distinct f32 timestamps only
-exist where consecutive gaps stay above the local ULP.  The gaps here
-are random multiples of 2^-3 with ts_max < 2^21, so every timestamp and
-every diff is EXACT in f32 (integer grid below the 24-bit mantissa
-limit) while the grid remains genuinely non-uniform (gap ratio 4x).
+exist where every PARTIAL SUM of gap ticks stays below the 24-bit
+mantissa limit (2^24 ~ 1.68e7 ticks) -- otherwise far-end timestamps
+round and consecutive diffs quantise (to zero in the worst case ->
+singular Q1 -> NaN).  Gaps here are {1, 2} ticks of 0.25 (total ~1.5e7
+ticks), so every timestamp and every diff is EXACT in f32 while the
+grid remains genuinely non-uniform (gap ratio 2x, i.i.d. random).
 
 Usage: python examples/bench_train_irregular.py
 """
@@ -60,8 +62,8 @@ def main():
 
     # -- the headline: one Adam-ready (value, grad) step at N = 1e7 ----
     n = 10_000_000
-    gaps = rng.randint(1, 5, n) * 0.125
-    ts = jnp.asarray(np.cumsum(gaps), jnp.float32)  # ts_max ~ 3.1e6 < 2^22
+    gaps = rng.randint(1, 3, n) * 0.25  # ~1.5e7 quarter-ticks < 2^24
+    ts = jnp.asarray(np.cumsum(gaps), jnp.float32)
     xs = jnp.asarray(rng.randn(n, obs), jnp.float32)
 
     step = jax.jit(jax.value_and_grad(train_loop.nll_loss_residual))
@@ -76,6 +78,23 @@ def main():
         "value": round(ms, 1), "unit": "ms",
         "loss": round(loss, 6), "compile_s": round(compile_s, 1),
         "vs_exact_blocked_filter_s": 44.6,
+    }), flush=True)
+
+    # -- loss-TRAJECTORY parity vs the exact blocked filter: 30 Adam
+    # steps at N = 1e5 (where the exact filter is affordable) ----------
+    steps = 30
+    fit_res = train_loop.fit(params, ts_s, xs_s, num_steps=steps,
+                             loss="cr_residual", log_every=0)
+    fit_kf = train_loop.fit(params, ts_s, xs_s, num_steps=steps,
+                            loss="kalman", log_every=0)
+    devs = [abs(a - b) / max(abs(b), 1e-12)
+            for a, b in zip(fit_res.losses, fit_kf.losses)]
+    print(json.dumps({
+        "metric": "residual_vs_kalman_trajectory_n1e5_f32",
+        "steps": steps,
+        "final_residual": round(fit_res.losses[-1], 6),
+        "final_kalman": round(fit_kf.losses[-1], 6),
+        "max_rel_dev": float(f"{max(devs):.2e}"),
     }), flush=True)
 
 
