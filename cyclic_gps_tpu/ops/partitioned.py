@@ -240,6 +240,53 @@ def _reduced_system(R_cm, y_cm, state, w1):
     return red_diag, red_off, red_rhs
 
 
+def _chunk_layout_em(diag_em, off_em, y_em, s: int):
+    """`_chunk_layout` on ELEMENT-MAJOR inputs (diag [d, d, n], off
+    [d, d, >= n-1] valid to n-2, y [d, n]) -- the reduced-system
+    recursion's native format.  One lane-regrouping transpose instead
+    of the em -> natural -> chunk-major double conversion (the ladder's
+    dominant cost at d >= 9, where every [d, d, n] pass tile-pads
+    16/d)."""
+    d, _, n = diag_em.shape
+    c = -(-n // s)
+    m = c * s
+    if m > n:
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=diag_em.dtype)[:, :, None], (d, d, m - n)
+        )
+        diag_em = jnp.concatenate([diag_em, eye], axis=-1)
+        y_em = jnp.concatenate(
+            [y_em, jnp.zeros((d, m - n), dtype=y_em.dtype)], axis=-1
+        )
+    off_em = jnp.concatenate(
+        [off_em[:, :, : n - 1],
+         jnp.zeros((d, d, m - n + 1), dtype=diag_em.dtype)], axis=-1
+    )
+    R_cm = jnp.transpose(diag_em.reshape(d, d, c, s), (3, 0, 1, 2))
+    O_cm = jnp.transpose(off_em.reshape(d, d, c, s), (3, 0, 1, 2))
+    y_cm = jnp.transpose(y_em.reshape(d, c, s), (2, 0, 1))
+    return R_cm, O_cm, y_cm, c
+
+
+def _mahal_and_logdet_em(diag_em, off_em, y_em, jitter):
+    """`_mahal_and_logdet_impl` on element-major inputs (off_em valid to
+    n-2; trailing entries ignored) -- used for the reduced-system
+    recursion so no level pays the em -> natural round trip."""
+    d, _, n = diag_em.shape
+    s = default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        return cr.mahal_and_logdet(
+            sb.from_em(diag_em), sb.from_em(off_em)[: n - 1],
+            sb.vec_from_em(y_em), jitter=jitter,
+        )
+    R_cm, O_cm, y_cm, c = _chunk_layout_em(diag_em, off_em, y_em, s)
+    state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter, collect=None)
+    red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
+    red_mh, red_ld = _mahal_and_logdet_em(red_diag, red_off, red_rhs,
+                                          jitter)
+    return state.mh + red_mh, 2.0 * state.ld + red_ld
+
+
 def _mahal_and_logdet_impl(diag, off, y, s, jitter):
     """Recursive partitioned elimination: each pass shrinks N by ~s until
     the terminal cyclic reduction (bounded program size at every level)."""
@@ -250,13 +297,8 @@ def _mahal_and_logdet_impl(diag, off, y, s, jitter):
     R_cm, O_cm, y_cm, c = _chunk_layout(diag, off, y, s)
     state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter, collect=None)
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
-    red_mh, red_ld = _mahal_and_logdet_impl(
-        sb.from_em(red_diag),
-        sb.from_em(red_off)[: c - 1],
-        sb.vec_from_em(red_rhs),
-        None,
-        jitter,
-    )
+    red_mh, red_ld = _mahal_and_logdet_em(red_diag, red_off, red_rhs,
+                                          jitter)
     return state.mh + red_mh, 2.0 * state.ld + red_ld
 
 
@@ -328,13 +370,8 @@ def _mahal_cm_primal(R_cm, O_cm, y_cm, jitter, backend):
         state, w1, _ = _forward_sweep(R_cm, O_cm, y_cm, jitter,
                                       collect=None)
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
-    red_mh, red_ld = _mahal_and_logdet_impl(
-        sb.from_em(red_diag),
-        sb.from_em(red_off)[: c - 1],
-        sb.vec_from_em(red_rhs),
-        None,
-        jitter,
-    )
+    red_mh, red_ld = _mahal_and_logdet_em(red_diag, red_off, red_rhs,
+                                          jitter)
     return state.mh + red_mh, 2.0 * state.ld + red_ld
 
 
@@ -485,13 +522,8 @@ def _mahal_wide_cm_primal(r11, rst, o11, ost, y_cm, c, jitter):
     red_diag, red_off, red_rhs = _reduced_system(
         r0[None], y_cm[:1], state, w1
     )
-    red_mh, red_ld = _mahal_and_logdet_impl(
-        sb.from_em(red_diag),
-        sb.from_em(red_off)[: c - 1],
-        sb.vec_from_em(red_rhs),
-        None,
-        jitter,
-    )
+    red_mh, red_ld = _mahal_and_logdet_em(red_diag, red_off, red_rhs,
+                                          jitter)
     return state.mh + red_mh, 2.0 * state.ld + red_ld
 
 
@@ -531,12 +563,14 @@ _mahal_wide.defvjp(_mahal_wide_fwd, _mahal_wide_bwd)
 
 
 def solve_and_logdet_wide(r11, rst, o11, ost, y_cm, jitter: float = 0.0):
-    """(J^{-1} y [C*s, d] padded natural order, log|J|) on ALREADY
-    wide-layout chunk-major inputs (`_chunk_layout_wide` format): the
-    wide collect sweep + wide back-substitution kernels, with the
-    C-sized reduced boundary system solved recursively on the plain
-    path.  Forward-only entry (the differentiable route is the
-    natural-layout `_solve_wide`)."""
+    """(J^{-1} y CHUNK-MAJOR [s, d, C], log|J|) on ALREADY wide-layout
+    chunk-major inputs (`_chunk_layout_wide` format): the wide collect
+    sweep + wide back-substitution kernels, with the C-sized reduced
+    boundary system solved recursively on the plain path.  The solution
+    stays in the engine-native chunk-major layout (matching `solve_cm`;
+    the [s, d, C] -> natural transpose is a full-size relayout pass that
+    only the natural-layout entry `_solve_wide` pays).  Forward-only
+    entry (the differentiable route is `_solve_wide`)."""
     from cyclic_gps_tpu.ops import pallas_wide as pw
     from cyclic_gps_tpu.ops import wideblock as wb
 
@@ -562,23 +596,22 @@ def solve_and_logdet_wide(r11, rst, o11, ost, y_cm, jitter: float = 0.0):
     red_diag, red_off, red_rhs = _reduced_system(
         r0[None], y_cm[:1], state, w1
     )
-    x_b, red_ld = _solve_impl(
-        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
-        sb.vec_from_em(red_rhs), None, jitter,
-    )  # [C, d]
-    xb = sb.vec_to_em(x_b)  # [d, C] own-chunk boundary
+    xb, red_ld = _solve_em(red_diag, red_off, red_rhs, jitter)
+    # [d, C] own-chunk boundary (element-major end to end)
     xb_next = sb.shift_up(xb)  # next chunk's boundary (0 for last)
     interior = pw.backward_substitute_wide_pallas(
         hc11, hcst, hw011, hw0st, hws, hw1_11, hw1_st, xb, xb_next,
     )  # [s-1, d, C], steps j = 1..s-1
     x_cm = jnp.concatenate([xb[None], interior], axis=0)
-    x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, r11.shape[1] + rst.shape[1] // 3)
-    return x_nat, 2.0 * state.ld + red_ld
+    return x_cm, 2.0 * state.ld + red_ld
 
 
 def _solve_wide_primal(diag, off, y, s, jitter):
     r11, rst, o11, ost, y_cm, _ = _chunk_layout_wide(diag, off, y, s)
-    return solve_and_logdet_wide(r11, rst, o11, ost, y_cm, jitter)
+    x_cm, ld = solve_and_logdet_wide(r11, rst, o11, ost, y_cm, jitter)
+    s_, d, c = x_cm.shape
+    x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s_, d)
+    return x_nat, ld
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -900,6 +933,24 @@ def logdet_per_segment(diag: Array, off: Array, seg_ids: Array,
                                num_segments=num_segments)
 
 
+def _solve_em(diag_em, off_em, y_em, jitter):
+    """(J^{-1} y ELEMENT-MAJOR [d, n], log|J|) on element-major inputs
+    (off_em valid to n-2) -- the reduced boundary ladder's native
+    format (both solve entries consume the boundary solution as a
+    [d, C] em vector, so no level pays the em -> natural round trip
+    on the [d, d, n] system blocks)."""
+    d, _, n = diag_em.shape
+    s = default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        decomp = cr.decompose(sb.from_em(diag_em),
+                              sb.from_em(off_em)[: n - 1], jitter=jitter)
+        x = cr.solve(decomp, sb.vec_from_em(y_em))
+        return sb.vec_to_em(x), cr.logdet(decomp)
+    R_cm, O_cm, y_cm, c = _chunk_layout_em(diag_em, off_em, y_em, s)
+    x_nat, ld = _solve_from_cm(R_cm, O_cm, y_cm, jitter)
+    return sb.vec_to_em(x_nat[:n]), ld
+
+
 def _solve_impl(diag, off, y, s, jitter):
     """Returns (J^{-1} y, log|J|) -- the log-det falls out of the same
     forward sweep for free."""
@@ -943,12 +994,9 @@ def _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
         hat_cs, hat_w0s, hat_ws = stacked  # steps j = 1..s-1
     red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
 
-    x_b, red_ld = _solve_impl(
-        sb.from_em(red_diag), sb.from_em(red_off)[: c - 1],
-        sb.vec_from_em(red_rhs), None, jitter,
-    )  # [C, d]
+    x_b_em, red_ld = _solve_em(red_diag, red_off, red_rhs, jitter)
     x_nat = _back_substitute(state, w1, hat_cs, hat_w0s, hat_ws,
-                             sb.vec_to_em(x_b), c, backend)
+                             x_b_em, c, backend)
     return x_nat, 2.0 * state.ld + red_ld
 
 

@@ -207,53 +207,71 @@ def wmv_t(a11, ast, x1, x2):
 def _chol_panel(x, p: int, rows_iota):
     """Lower Cholesky of the leading p x p block of x [p, 8, C] (cols
     >= p ignored/zero).  Returns (L [p, 8, C], inv_diag [p, 1, C],
-    sum log diag [])."""
+    sum log diag []).
+
+    Round-4 rewrite mirroring `pallas_sweep._chol`: factor columns are
+    assembled ONCE by concatenation and the trailing update shrinks
+    along dim 0, instead of the masked whole-matrix accumulation whose
+    every iteration paid full [p, 8, C] onehot passes (the plain
+    kernels gained ~15% from the same change).  ``rows_iota`` is kept
+    for signature stability (unused)."""
     import jax
 
-    L = x * 0.0
-    invd = x[:, 0:1, :] * 0.0
-    ld = jnp.zeros((), dtype=x.dtype)
-    cols = jnp.swapaxes(rows_iota, 0, 1)  # [1, 8, 1]
+    del rows_iota
+    zrow = x[0:1, 0:1, :] * 0.0  # anchored zero (Mosaic constant gotcha)
+    c = x.shape[2]
+    cols = []
+    invd_rows = []
+    ld = zrow
     for j in range(p):
-        piv = x[j:j + 1, j:j + 1, :]
+        piv = x[0:1, j:j + 1, :]
         piv_inv = jax.lax.rsqrt(piv)
-        mask = (rows_iota[:p] >= j).astype(x.dtype)
-        col = x[:, j:j + 1, :] * piv_inv * mask       # [p, 1, C]
-        onehot_col = (cols == j).astype(x.dtype)      # [1, 8, 1]
-        L = L + onehot_col * col
-        onehot_row = (rows_iota[:p] == j).astype(x.dtype)
-        invd = invd + onehot_row * piv_inv
-        ld = ld + 0.5 * jnp.sum(jnp.log(piv))
+        col = x[:, j:j + 1, :] * piv_inv  # [p-j, 1, C] (rows j..p-1)
+        if j:
+            pad = jnp.broadcast_to(zrow, (j, 1, c))
+            cols.append(jnp.concatenate([pad, col], axis=0))
+        else:
+            cols.append(col)
+        invd_rows.append(piv_inv)
+        ld = ld + 0.5 * jnp.log(piv)
         if j + 1 < p:
-            x = x - col * _pad_cols(_sw(col))
-    return L, invd, ld
+            t = col[1:]
+            # rank-1 downdate of rows j+1..; the padded row vector has
+            # zeros at columns < j (never read again) and >= p (ignored)
+            row = _pad_cols(_sw(cols[-1]))  # [1, 8, C]
+            x = x[1:] - t * row
+    L = _pad_cols(jnp.concatenate(cols, axis=1))  # [p, 8, C]
+    invd = jnp.concatenate(invd_rows, axis=0)
+    return L, invd, jnp.sum(ld)
 
 
 def _solve_panel(L, invd, y, p: int, rows_iota):
-    """L X = Y on the leading p x p of L [p, 8, C]; Y [p, q, C]."""
+    """L X = Y on the leading p x p of L [p, 8, C]; Y [p, q, C]
+    (shrinking-tail residual: see _chol_panel)."""
+    del rows_iota
     res = y
-    x = y * 0.0
+    rows = []
     for i in range(p):
-        xi = res[i:i + 1, :, :] * invd[i:i + 1, :, :]
-        onehot = (rows_iota[:p] == i).astype(y.dtype)
-        x = x + onehot * xi
+        xi = res[0:1, :, :] * invd[i:i + 1, :, :]
+        rows.append(xi)
         if i + 1 < p:
-            res = res - L[:, i:i + 1, :] * xi
-    return x
+            res = res[1:] - L[i + 1:, i:i + 1, :] * xi
+    return jnp.concatenate(rows, axis=0)
 
 
 def _solve_panel_t(L, invd, y, p: int, rows_iota):
-    """L^T X = Y on the leading p x p of L [p, 8, C]; Y [p, q, C]."""
+    """L^T X = Y on the leading p x p of L [p, 8, C]; Y [p, q, C]
+    (back substitution; shrinking-head residual)."""
+    del rows_iota
     res = y
-    x = y * 0.0
+    rows = [None] * p
     for i in reversed(range(p)):
         xi = res[i:i + 1, :, :] * invd[i:i + 1, :, :]
-        onehot = (rows_iota[:p] == i).astype(y.dtype)
-        x = x + onehot * xi
+        rows[i] = xi
         if i > 0:
-            # (L^T) column i = L row i as a [p, 1, C] column vector
-            res = res - _sw(L[i:i + 1, :, :])[:p] * xi
-    return x
+            # (L^T)[0:i, i] = L[i, 0:i]; slice dim 0 after the swap
+            res = res[:i] - _sw(L[i:i + 1, :, :])[:i] * xi
+    return jnp.concatenate(rows, axis=0)
 
 
 def _rows_iota(dtype_like):
