@@ -687,6 +687,285 @@ def takahashi_backward_pallas(ds, invds, cs, w0s,
 
 
 # ---------------------------------------------------------------------------
+# FUSED solve + selected-inversion pair (round 5): ONE collect sweep
+# whose stacks serve BOTH the back-substitution and the hat-form
+# Takahashi recursion, and ONE descending kernel running both walks --
+# the analytic VJPs' backward (partitioned._solve_inverse_from_cm).
+# The hat-form recursion (partitioned._takahashi_hat_walk) has no
+# triangular solves or inversions left: 13 plain block matmuls/step.
+# ---------------------------------------------------------------------------
+
+
+def _sweep_solveinv_kernel(jit_ref, r_ref, o_ref, o0_ref, y_ref,
+                           acc00_ref, accy0_ref, w0l_ref, wl_ref, dl_ref,
+                           invdl_ref, stats_ref, hc_ref, hw0_ref, hw_ref,
+                           pinv_ref, lq_ref,
+                           cprev_s, w0_s, w_s, acc00_s, accy0_s, stats_s):
+    """`_sweep_collect_kernel` emitting ONE extra per-step stack:
+    pinv = P_j^{-1} = D^{-T} D^{-1}.  The hats are built from the
+    per-step triangular inverse di = D^{-1} (one inversion + three
+    matmuls, replacing the collect kernel's three triangular solves),
+    since pinv needs di anyway."""
+    j = pl.program_id(1)
+    d = r_ref.shape[1]
+    jit_eye = jit_ref[0, 0] * jnp.eye(d, dtype=r_ref.dtype)[:, :, None]
+    r_j = r_ref[0] + jit_eye
+    o_j = o_ref[0]
+    y_j = y_ref[0]  # [d, 1, C]
+
+    def emit(D, invd, ld, w0, w, cnew):
+        dl_ref[:] = D
+        invdl_ref[:] = invd
+        # anchored identity (Mosaic constant-RHS gotcha, see module doc)
+        eye = D * 0.0 + jnp.eye(d, dtype=D.dtype)[:, :, None]
+        di = _solve_lower(D, invd, eye)
+        hc_ref[0] = _mm(di, cnew, ta=True, tb=True)
+        hw0_ref[0] = _mm(di, w0, ta=True)
+        hw_ref[0] = _mm(di, w, ta=True)
+        pinv_ref[0] = _mm(di, di, ta=True)
+        lq_ref[0, 0] = 2.0 * ld[0, 0]
+
+    @pl.when(j == 0)
+    def _():
+        D, invd, ld = _chol(r_j)
+        w0 = _solve_lower(D, invd, o0_ref[0])
+        w = _solve_lower(D, invd, y_j)
+        cnew = _swap(_solve_lower(D, invd, _swap(o_j)))
+        cprev_s[:] = cnew
+        w0_s[:] = w0
+        w_s[:] = w
+        acc00_s[:] = _mm(w0, w0, ta=True)
+        accy0_s[:] = _mm(w0, w, ta=True)
+        stats_s[0, 0] = jnp.sum(w * w)
+        stats_s[0, 1] = jnp.sum(ld)
+        emit(D, invd, ld, w0, w, cnew)
+
+    @pl.when(j > 0)
+    def _():
+        cp = cprev_s[:]
+        p = r_j - _mm(cp, cp, tb=True)
+        D, invd, ld = _chol(p)
+        w0 = -_solve_lower(D, invd, _mm(cp, w0_s[:]))
+        w = _solve_lower(D, invd, y_j - _mm(cp, w_s[:]))
+        cnew = _swap(_solve_lower(D, invd, _swap(o_j)))
+        cprev_s[:] = cnew
+        w0_s[:] = w0
+        w_s[:] = w
+        acc00_s[:] = acc00_s[:] + _mm(w0, w0, ta=True)
+        accy0_s[:] = accy0_s[:] + _mm(w0, w, ta=True)
+        stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w * w)
+        stats_s[0, 1] = stats_s[0, 1] + jnp.sum(ld)
+        emit(D, invd, ld, w0, w, cnew)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc00_ref[:] = acc00_s[:]
+        accy0_ref[:] = accy0_s[:]
+        w0l_ref[:] = w0_s[:]
+        wl_ref[:] = w_s[:]
+        ct = pl.program_id(0)
+        stats_ref[ct, 0] = stats_s[0, 0]
+        stats_ref[ct, 1] = stats_s[0, 1]
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_solveinv_pallas(R_cm: Array, O_cm: Array, y_cm: Array,
+                                  jitter: float = 0.0):
+    """Forward sweep collecting the SHARED backward stacks: the solve
+    hats (hat_c, hat_w0, hat_w) plus pinv = P^{-1} for the hat-form
+    Takahashi recursion.  Returns (acc00, accy0, w0_last, w_last,
+    d_last, invd_last, mh, ld, hat_cs, hat_w0s, hat_ws, pinvs,
+    ld_rows): scalars/last-state sliced to the true C, the four stacks
+    kernel-tile padded (consumed as-is by
+    `backward_solve_takahashi_pallas`)."""
+    R_cm, O_cm, y_cm, c = _pad_chunks(R_cm, O_cm, y_cm,
+                                      _ct_for(R_cm.shape[1]))
+    s, d, _, cpad = R_cm.shape
+    ct = min(_ct_for(d), cpad)
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R_cm.dtype)
+    y3 = y_cm[:, :, None, :]
+    mat = jax.ShapeDtypeStruct((d, d, cpad), R_cm.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R_cm.dtype)
+    smat = jax.ShapeDtypeStruct((s - 1, d, d, cpad), R_cm.dtype)
+    svec = jax.ShapeDtypeStruct((s - 1, d, 1, cpad), R_cm.dtype)
+    small = pl.BlockSpec((d, d, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    smallv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    step = pl.BlockSpec((1, d, d, ct), lambda t, j: (j, 0, 0, t),
+                        memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _sweep_solveinv_kernel,
+        grid=(nct, s - 1),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d, ct), lambda t, j: (0, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, 1, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            small, smallv, small, smallv, small, smallv,
+            pl.BlockSpec((nct, 2), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            step, step, stepv, step,
+            pl.BlockSpec((1, 1, ct), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[mat, vec, mat, vec, mat, vec,
+                   jax.ShapeDtypeStruct((nct, 2), R_cm.dtype),
+                   smat, smat, svec, smat,
+                   jax.ShapeDtypeStruct((s - 1, 1, cpad), R_cm.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, 1, ct), R_cm.dtype),
+            pltpu.VMEM((d, d, ct), R_cm.dtype),
+            pltpu.VMEM((d, 1, ct), R_cm.dtype),
+            pltpu.SMEM((1, 2), R_cm.dtype),
+        ],
+    )(jit_arr, R_cm, O_cm, O_cm, y3)
+    (acc00, accy0, w0l, wl, dl, invdl, stats, hc, hw0, hw, pinv, lq) = outs
+    ld = jnp.sum(stats[:, 1]) - _pad_jitter_ld(s, d, cpad - c, jitter,
+                                               R_cm.dtype)
+    return (acc00[:, :, :c], accy0[:, 0, :c], w0l[:, :, :c], wl[:, 0, :c],
+            dl[:, :, :c], invdl[:, 0, :c],
+            jnp.sum(stats[:, 0]), ld,
+            hc, hw0, hw[:, :, 0, :], pinv, lq[:, 0, :c])
+
+
+def _backsolve_takahashi_kernel(hc_ref, hw0_ref, hw_ref, pinv_ref,
+                                hw1_ref, xb_ref, xbn_ref,
+                                p00_ref, p01_ref, p10_ref, p11_ref,
+                                x_ref, diag_ref, off_ref,
+                                u0f_ref, u1f_ref,
+                                xnext_s, phi_s, u0_s, u1_s):
+    """ONE descending pass running BOTH upward walks on the shared hat
+    stacks (grid step j handles stack row sm1-1-j = step s-1-j):
+
+      back-substitution   x_j = hat_w - hat_W0 x_b - hat_C x_{j+1}
+      hat-form Takahashi  (see partitioned._takahashi_hat_walk)
+
+    The j = 0 step IS the s-1 seed: phi = pinv, u0 = hat_w0, u1 =
+    hat_w1 are read straight from the stacks/inputs, and the last diag
+    / right-edge off rows are computed in-kernel (the separate kernels
+    needed five XLA-precomputed seed arrays).  Each hat row is read
+    from HBM exactly once where the separate kernels read hat_c/hat_w0
+    twice."""
+    j = pl.program_id(1)
+    hc_j = hc_ref[0]
+    hw0_j = hw0_ref[0]
+    pinv_j = pinv_ref[0]
+
+    def sig_ut(u0, u1):
+        a0 = (_mm(p00_ref[:], u0, tb=True)
+              + _mm(p01_ref[:], u1, tb=True))
+        a1 = (_mm(p10_ref[:], u0, tb=True)
+              + _mm(p11_ref[:], u1, tb=True))
+        return a0, a1
+
+    common = hw_ref[0] - _mm(hw0_j, xb_ref[:])
+
+    @pl.when(j == 0)
+    def _():
+        # solve: last interior row (carries the W1 term, no x_{j+1})
+        x = common - _mm(hw1_ref[:], xbn_ref[:])
+        x_ref[0] = x
+        xnext_s[:] = x
+        # Takahashi seed at step s-1 + its output rows
+        phi = pinv_j
+        u0 = hw0_j
+        u1 = hw1_ref[:]
+        a0, a1 = sig_ut(u0, u1)
+        diag_ref[0] = phi + _mm(u0, a0) + _mm(u1, a1)
+        off_ref[0] = -a1  # right-edge block Sigma[(c+1)s, cs+s-1]
+        phi_s[:] = phi
+        u0_s[:] = u0
+        u1_s[:] = u1
+
+    @pl.when(j > 0)
+    def _():
+        x = common - _mm(hc_j, xnext_s[:])
+        x_ref[0] = x
+        xnext_s[:] = x
+        phi_n, u0_n, u1_n = phi_s[:], u0_s[:], u1_s[:]
+        phi_off = -_mm(phi_n, hc_j, tb=True)
+        phi_j = pinv_j + _mm(_mm(hc_j, phi_n), hc_j, tb=True)
+        u0_j = hw0_j - _mm(hc_j, u0_n)
+        u1_j = -_mm(hc_j, u1_n)
+        a0_j, a1_j = sig_ut(u0_j, u1_j)
+        diag_ref[0] = phi_j + _mm(u0_j, a0_j) + _mm(u1_j, a1_j)
+        off_ref[0] = phi_off + _mm(u0_n, a0_j) + _mm(u1_n, a1_j)
+        phi_s[:] = phi_j
+        u0_s[:] = u0_j
+        u1_s[:] = u1_j
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        u0f_ref[:] = u0_s[:]
+        u1f_ref[:] = u1_s[:]
+
+
+@jax.jit
+def backward_solve_takahashi_pallas(hat_cs, hat_w0s, hat_ws, pinvs,
+                                    hat_w1, xb, xb_next,
+                                    p00, p01, p10, p11):
+    """Fused back-substitution + hat-form Takahashi recursion over the
+    shared stacks (steps s-1 .. 1, descending).  Stacks are kernel-tile
+    padded [s-1, d, ., cpad]; the chunk-level inputs (hat_w1, xb,
+    xb_next, p00..p11) must be padded to the same width.  Returns
+    (x rows [s-1, d, cpad] steps 1..s-1,
+     diag rows [s-1, d, d, cpad] = Sigma_jj steps 1..s-1,
+     off rows [s-1, d, d, cpad] = Sigma_{j+1, j} rows 1..s-1 (the last
+     is the right-edge block), u0_final, u1_final [d, d, cpad])."""
+    sm1, d, _, cpad = hat_cs.shape
+    # fixed inputs (5 mats + 2 vecs) + double-buffered step blocks +
+    # outputs + 4 scratches: ~20 [d, d, ct] buffers -- same halving rule
+    # as the raw Takahashi kernel above d = 9.
+    ct = min(_ct_for(d) if d <= 9 else _ct_for(d) // 2, cpad)
+    nct = cpad // ct
+    s2 = sm1 - 1  # grid step j handles stack row (s2 - j): descending
+    step = pl.BlockSpec((1, d, d, ct), lambda t, j: (s2 - j, 0, 0, t),
+                        memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (s2 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((d, d, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    smallv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    smat = jax.ShapeDtypeStruct((sm1, d, d, cpad), hat_cs.dtype)
+    svec = jax.ShapeDtypeStruct((sm1, d, 1, cpad), hat_cs.dtype)
+    mat = jax.ShapeDtypeStruct((d, d, cpad), hat_cs.dtype)
+    outs = pl.pallas_call(
+        _backsolve_takahashi_kernel,
+        grid=(nct, sm1),
+        in_specs=[step, step, stepv, step,
+                  small, smallv, smallv,
+                  small, small, small, small],
+        out_specs=[stepv, step, step, small, small],
+        out_shape=[svec, smat, smat, mat, mat],
+        scratch_shapes=[
+            pltpu.VMEM((d, 1, ct), hat_cs.dtype),
+            pltpu.VMEM((d, d, ct), hat_cs.dtype),
+            pltpu.VMEM((d, d, ct), hat_cs.dtype),
+            pltpu.VMEM((d, d, ct), hat_cs.dtype),
+        ],
+    )(hat_cs, hat_w0s, hat_ws[:, :, None, :], pinvs,
+      hat_w1, xb[:, None, :], xb_next[:, None, :],
+      p00, p01, p10, p11)
+    x_rows, diag_rows, off_rows, u0f, u1f = outs
+    return x_rows[:, :, 0, :], diag_rows, off_rows, u0f, u1f
+
+
+# ---------------------------------------------------------------------------
 # Backward substitution kernel: the solve path's second pass.
 # ---------------------------------------------------------------------------
 

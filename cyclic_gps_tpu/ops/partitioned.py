@@ -185,9 +185,31 @@ def _collect_solve_ldrows(state: _SweepState):
     return _collect_solve(state) + (_collect_ldrows(state),)
 
 
+def _collect_solve_inverse(state: _SweepState):
+    """Hat back-substitution factors AND the hat-form Takahashi input
+    from the same step: (hat_c, hat_w0, hat_w, pinv) with pinv =
+    P_j^{-1} = D_j^{-T} D_j^{-1}.  The Takahashi recursion rewritten in
+    hat variables (`_takahashi_hat_walk`) consumes exactly (hat_c,
+    hat_w0, pinv), so ONE collect sweep serves BOTH halves of every
+    analytic VJP backward -- the solve and the selected inversion --
+    where the round-4 backward ran two full elimination sweeps
+    (`_solve_from_cm` + `_inverse_from_cm`)."""
+    di = sb.tri_lower_inverse(state.dj, state.invd)
+    pinv = sb.matmul(di, di, ta=True)
+    return _collect_solve(state) + (_flat(pinv),)
+
+
+def _collect_solve_inverse_ld(state: _SweepState):
+    """`_collect_solve_inverse` plus the per-row pivot log-dets (the
+    fused backward of `solve_and_ld_rows_cm`)."""
+    return _collect_solve_inverse(state) + (_collect_ldrows(state),)
+
+
 _COLLECTORS = {"solve": _collect_solve, "inverse": _collect_inverse,
                "ldrows": _collect_ldrows,
-               "solve_ldrows": _collect_solve_ldrows}
+               "solve_ldrows": _collect_solve_ldrows,
+               "solve_inverse": _collect_solve_inverse,
+               "solve_inverse_ld": _collect_solve_inverse_ld}
 
 
 def _forward_sweep(R_cm, O_cm, y_cm, jitter, collect):
@@ -392,17 +414,19 @@ def _mahal_cm_bwd(jitter, backend, res, cots):
       d(mh)/dR_i = -x_i x_i^T     d(mh)/dO_i = -2 x_{i+1} x_i^T
       d(ld)/dR_i = Sigma_ii       d(ld)/dO_i = 2 Sigma_{i+1,i}
       d(mh)/dy   = 2 x
-    The backward is one partitioned solve + one selected inversion --
-    instead of autodiff through the scan (which stores every step's
-    factorization).  This also makes the non-differentiable Pallas
-    forward kernel usable under `grad`.
+    The backward is ONE fused collect sweep + one descending pass
+    (`_solve_inverse_from_cm`: solve and selected inversion share the
+    hat stacks) -- instead of autodiff through the scan (which stores
+    every step's factorization).  This also makes the
+    non-differentiable Pallas forward kernel usable under `grad`.
     """
     R_cm, O_cm, y_cm = res
     gm, gl = cots
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
-    x_pad, _ = _solve_from_cm(R_cm, O_cm, y_cm, jitter, backend)  # [C*s, d]
-    sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
+    x_pad, sig_diag, sig_off = _solve_inverse_from_cm(
+        R_cm, O_cm, y_cm, jitter, backend
+    )
     xo = x_pad[:, :, None] * x_pad[:, None, :]
     x_next = jnp.concatenate(
         [x_pad[1:], jnp.zeros((1, d), x_pad.dtype)], axis=0
@@ -537,20 +561,17 @@ def _mahal_wide_fwd(diag, off, y, s, jitter):
 
 
 def _mahal_wide_bwd(s, jitter, res, cots):
-    """Same analytic adjoint as `_mahal_cm_bwd`, natural layout.  On TPU
-    the solve runs the WIDE kernels and the selected inversion the plain
-    Pallas pair; on CPU (tests) everything stays on the XLA scans."""
+    """Same analytic adjoint as `_mahal_cm_bwd`, natural layout.  The
+    backward runs the FUSED plain-layout solve+inverse (one collect
+    sweep + one descending pass): with the triangular strip algebra
+    gone from the hat-form Takahashi walk, the plain kernels beat the
+    wide solve + wide/plain Takahashi pair they replace."""
     diag, off, y = res
     gm, gl = cots
     n, d, _ = diag.shape
     backend = resolve_backend("auto")
-    if backend == "pallas":
-        x, _ = _solve_wide_primal(diag, off, y, s, jitter)
-        x = x[:n]
-    else:
-        x, _ = _solve_impl(diag, off, y, None, jitter)
-    sig_diag, sig_off = inverse_blocks(diag, off, jitter=jitter,
-                                       backend=backend)
+    x, sig_diag, sig_off = _solve_inverse_nat(diag, off, y, s, jitter,
+                                              backend)
     xo = x[:, :, None] * x[:, None, :]
     xo_off = x[1:, :, None] * x[:-1, None, :]
     g_diag = gl * sig_diag - gm * xo
@@ -628,18 +649,13 @@ def _solve_wide_fwd(diag, off, y, s, jitter):
 
 def _solve_wide_bwd(s, jitter, res, cots):
     """Same analytic adjoint as `_solve_cm_bwd`, natural layout; the
-    extra solve reuses the wide kernels on TPU."""
+    fused plain-layout solve+inverse backward (see `_mahal_wide_bwd`)."""
     diag, off, y, x = res
     gx, gl = cots
     n, d, _ = diag.shape
     backend = resolve_backend("auto")
-    if backend == "pallas":
-        u, _ = _solve_wide_primal(diag, off, gx, s, jitter)
-        u = u[:n]
-    else:
-        u, _ = _solve_impl(diag, off, gx, None, jitter)
-    sig_diag, sig_off = inverse_blocks(diag, off, jitter=jitter,
-                                       backend=backend)
+    u, sig_diag, sig_off = _solve_inverse_nat(diag, off, gx, s, jitter,
+                                              backend)
     g_diag = gl * sig_diag - u[:, :, None] * x[:, None, :]
     g_off = (
         2.0 * gl * sig_off
@@ -1089,8 +1105,9 @@ def _solve_cm_bwd(jitter, backend, res, cots):
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
     gx_cm = jnp.transpose(gx.reshape(c, s, d), (1, 2, 0))
-    u_nat, _ = _solve_from_cm(R_cm, O_cm, gx_cm, jitter, backend)
-    sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
+    u_nat, sig_diag, sig_off = _solve_inverse_from_cm(
+        R_cm, O_cm, gx_cm, jitter, backend
+    )
     zrow = jnp.zeros((1, d), x_nat.dtype)
     x_next = jnp.concatenate([x_nat[1:], zrow], axis=0)
     u_next = jnp.concatenate([u_nat[1:], zrow], axis=0)
@@ -1226,8 +1243,9 @@ def _solve_ldr_cm_bwd(jitter, backend, res, cots):
     s, d = R_cm.shape[0], R_cm.shape[1]
     c = R_cm.shape[-1]
     gx_cm = jnp.transpose(gx.reshape(c, s, d), (1, 2, 0))
-    u_nat, _ = _solve_from_cm(R_cm, O_cm, gx_cm, jitter, backend)
-    sig_diag, sig_off = _inverse_from_cm(R_cm, O_cm, jitter, backend)
+    u_nat, sig_diag, sig_off = _solve_inverse_from_cm(
+        R_cm, O_cm, gx_cm, jitter, backend
+    )
     w = jnp.transpose(w_cm, (1, 0)).reshape(c * s)
     w = w + _rows_cotangent_guard(w, O_cm, c, s)
     zrow = jnp.zeros((1, d), x_nat.dtype)
@@ -1475,6 +1493,216 @@ def _inverse_from_cm_pallas(R_cm, O_cm, jitter):
     diag_nat = jnp.transpose(diag_cm, (3, 0, 1, 2)).reshape(-1, d, d)
     off_nat = jnp.transpose(off_cm, (3, 0, 1, 2)).reshape(-1, d, d)
     return diag_nat, off_nat
+
+
+# ---------------------------------------------------------------------------
+# FUSED solve + selected inversion: the shared backward of every analytic
+# VJP (round 5, VERDICT r4 #1).  The backward of (mahal, logdet) / (solve,
+# logdet) needs BOTH x = J^{-1} y and the selected blocks of J^{-1}; until
+# round 4 it ran two full elimination sweeps (hat collect for the solve,
+# raw collect for the Takahashi recursion).  The Takahashi recurrence
+# rewritten in HAT variables needs only (hat_c = D^{-T} C^T, hat_w0 =
+# D^{-T} W0, pinv = P^{-1} = D^{-T} D^{-1}):
+#
+#   phi_off_j = -phi_{j+1} hat_c_j^T          (was  -phi C D^{-1})
+#   phi_j     = pinv_j + hat_c_j phi_{j+1} hat_c_j^T
+#   u0_j      = hat_w0_j - hat_c_j u0_{j+1}
+#   u1_j      = -hat_c_j u1_{j+1}
+#
+# -- identical algebra (hat_c^T = C D^{-1}), but with NO triangular solves
+# or inversions left in the recursion: 13 plain block matmuls per step.
+# One collect sweep (collect="solve_inverse") therefore serves both the
+# back-substitution (hat_c, hat_w0, hat_w) and the Takahashi walk (hat_c,
+# hat_w0, pinv); on TPU both walks fuse into ONE descending Pallas kernel
+# (ops/pallas_sweep.backward_solve_takahashi_pallas) that reads each hat
+# row once.  Reference analog under autograd:
+# /root/reference/cyclic_gps/cyclic_reduction.py:441-503.
+# ---------------------------------------------------------------------------
+
+
+def _takahashi_hat_walk(hc_s, hw0_s, pinv_s, hat_w1, p00, p01, p10, p11):
+    """Hat-form Takahashi recursion over one level's collected stacks
+    (XLA scan; the Pallas twin is fused into
+    `backward_solve_takahashi_pallas`).
+
+    hc_s / hw0_s / pinv_s: [s-1, d, d, C] per-step stacks (steps
+    j = 1..s-1); hat_w1 = D_{s-1}^{-T} W1; p00/p01/p10/p11: the reduced
+    boundary system's selected-inverse blocks [d, d, C].  Returns
+    (diag_int [s-1, d, d, C] = Sigma_jj rows j = 1..s-1,
+     off_rows [s-1, d, d, C] = Sigma_{j+1, j} rows j = 1..s-1 (row s-1
+     is the right-edge block), u0_final, u1_final [d, d, C] -- the
+     step-1 carries the caller turns into the left-edge off block)."""
+
+    def sigma_bb_ut(u0, u1):
+        a0 = sb.matmul(p00, u0, tb=True) + sb.matmul(p01, u1, tb=True)
+        a1 = sb.matmul(p10, u0, tb=True) + sb.matmul(p11, u1, tb=True)
+        return a0, a1
+
+    # seed at j = s-1: phi / u0 are literally the stacks' last rows
+    phi = pinv_s[-1]
+    u0 = hw0_s[-1]
+    u1 = hat_w1
+    a0, a1 = sigma_bb_ut(u0, u1)
+    diag_last = phi + sb.matmul(u0, a0) + sb.matmul(u1, a1)
+    off_edge_right = -a1
+
+    def back(carry, inp):
+        phi_n, u0_n, u1_n = carry
+        hc_j, hw0_j, pinv_j = inp
+        phi_off = -sb.matmul(phi_n, hc_j, tb=True)
+        phi_j = pinv_j + sb.matmul(sb.matmul(hc_j, phi_n), hc_j, tb=True)
+        u0_j = hw0_j - sb.matmul(hc_j, u0_n)
+        u1_j = -sb.matmul(hc_j, u1_n)
+        a0_j, a1_j = sigma_bb_ut(u0_j, u1_j)
+        diag_j = phi_j + sb.matmul(u0_j, a0_j) + sb.matmul(u1_j, a1_j)
+        off_j = phi_off + sb.matmul(u0_n, a0_j) + sb.matmul(u1_n, a1_j)
+        return (phi_j, u0_j, u1_j), (diag_j, off_j)
+
+    if hc_s.shape[0] > 1:
+        inps = (hc_s[:-1], hw0_s[:-1], pinv_s[:-1])
+        (phi, u0, u1), (diag_mid, off_mid) = jax.lax.scan(
+            back, (phi, u0, u1), inps, reverse=True
+        )
+        diag_int = jnp.concatenate([diag_mid, diag_last[None]], axis=0)
+        off_rows = jnp.concatenate([off_mid, off_edge_right[None]], axis=0)
+    else:
+        diag_int = diag_last[None]
+        off_rows = off_edge_right[None]
+    return diag_int, off_rows, u0, u1
+
+
+def _solve_inverse_em(diag_em, off_em, y_em, jitter):
+    """Recursive fused (J^{-1} y, selected inverse) on element-major
+    inputs (off_em valid to n-2).  Returns (x [d, n], sig_diag
+    [d, d, n], sig_off [d, d, n] with sig_off[..., i] = Sigma_{i+1, i}
+    and the trailing slot zero).  The terminal level shares ONE CR
+    decomposition between the solve and the selected inversion."""
+    d, _, n = diag_em.shape
+    s = default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        dec = cr.decompose(sb.from_em(diag_em), sb.from_em(off_em)[: n - 1],
+                           jitter=jitter)
+        x = cr.solve(dec, sb.vec_from_em(y_em))
+        sd, so = cr.inverse_blocks(dec)
+        so_em = jnp.concatenate(
+            [sb.to_em(so), jnp.zeros((d, d, 1), dtype=diag_em.dtype)],
+            axis=-1,
+        )
+        return sb.vec_to_em(x), sb.to_em(sd), so_em
+    R_cm, O_cm, y_cm, c = _chunk_layout_em(diag_em, off_em, y_em, s)
+    x_nat, sd_nat, so_nat = _solve_inverse_from_cm(R_cm, O_cm, y_cm,
+                                                   jitter, "xla")
+    return (sb.vec_to_em(x_nat[:n]), sb.to_em(sd_nat[:n]),
+            sb.to_em(so_nat[:n]))
+
+
+def _solve_inverse_from_cm(R_cm, O_cm, y_cm, jitter, backend: str = "xla"):
+    """Fused (x = J^{-1} y, selected inverse of J) on chunk-major inputs
+    from ONE forward collect sweep; returns padded natural-order
+    (x [C*s, d], sig_diag [C*s, d, d], sig_off [C*s, d, d] with row i =
+    Sigma_{i+1, i}).  ``backend="pallas"`` runs the sweep as the
+    solve+inverse collect kernel and BOTH upward walks as one fused
+    descending kernel."""
+    s, d = R_cm.shape[0], R_cm.shape[1]
+    c = R_cm.shape[-1]
+    if backend == "pallas":
+        from cyclic_gps_tpu.ops import pallas_sweep as ps
+
+        (acc00, accy0, w0l, wl, dl, invdl, mh, ld, hc_s, hw0_s, hw_s,
+         pinv_s, _) = ps.forward_sweep_solveinv_pallas(R_cm, O_cm, y_cm,
+                                                       jitter=jitter)
+        state = _SweepState(None, w0l, wl, dl, invdl, acc00, accy0, mh, ld)
+        w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+    else:
+        state, w1, stacked = _forward_sweep(R_cm, O_cm, y_cm, jitter,
+                                            collect="solve_inverse")
+        hc_s, hw0_s, hw_s, pinv_s = stacked
+    red_diag, red_off, red_rhs = _reduced_system(R_cm, y_cm, state, w1)
+    xb, p00, p10 = _solve_inverse_em(red_diag, red_off, red_rhs, jitter)
+    p11 = sb.shift_up(p00)
+    p01 = sb.transpose(p10)
+    hat_w1 = sb.solve_lower_t(state.dj, state.invd, w1)
+    xb_next = sb.shift_up(xb)
+
+    if backend == "pallas":
+        from cyclic_gps_tpu.ops import pallas_sweep as ps
+
+        cpad = hc_s.shape[-1]
+
+        def padz(a):
+            if cpad == c:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (cpad - c,), dtype=a.dtype)],
+                axis=-1,
+            )
+
+        def pade(a):
+            if cpad == c:
+                return a
+            eye = jnp.broadcast_to(
+                jnp.eye(d, dtype=a.dtype)[:, :, None], (d, d, cpad - c)
+            )
+            return jnp.concatenate([a, eye], axis=-1)
+
+        (x_rows, diag_rows, off_rows,
+         u0f, u1f) = ps.backward_solve_takahashi_pallas(
+            hc_s, hw0_s, hw_s, pinv_s,
+            padz(hat_w1), padz(xb), padz(xb_next),
+            pade(p00), padz(p01), padz(p10), pade(p11),
+        )
+        interior = x_rows[:, :, :c]
+        diag_int = diag_rows[:, :, :, :c]
+        off_rows = off_rows[:, :, :, :c]
+        u0f, u1f = u0f[:, :, :c], u1f[:, :, :c]
+    else:
+        interior = None  # assembled below via _back_substitute
+        diag_int, off_rows, u0f, u1f = _takahashi_hat_walk(
+            hc_s, hw0_s, pinv_s, hat_w1, p00, p01, p10, p11
+        )
+
+    off_edge_left = -(sb.matmul(u0f, p00) + sb.matmul(u1f, p10))
+    diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
+    off_cm = jnp.concatenate([off_edge_left[None], off_rows], axis=0)
+    sig_diag = jnp.transpose(diag_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    sig_off = jnp.transpose(off_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+
+    if interior is None:
+        x_nat = _back_substitute(state, w1, hc_s, hw0_s, hw_s, xb, c,
+                                 "xla")
+    else:
+        x_cm = jnp.concatenate([xb[None], interior], axis=0)
+        x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, d)
+    return x_nat, sig_diag, sig_off
+
+
+def solve_and_inverse_cm(R_cm: Array, O_cm: Array, y_cm: Array,
+                         jitter: float = 0.0,
+                         backend: str = "auto"):
+    """(J^{-1} y [C*s, d] padded natural order, Sigma_ii [C*s, d, d],
+    Sigma_{i+1,i} [C*s, d, d]) from ONE forward collect sweep + one
+    descending pass -- the fused backward primitive of every analytic
+    VJP (`_mahal_cm_bwd`, `_solve_cm_bwd`, `_solve_ldr_cm_bwd`).
+    Forward-only entry (it IS the backward)."""
+    return _solve_inverse_from_cm(R_cm, O_cm, y_cm, jitter,
+                                  resolve_backend(backend))
+
+
+def _solve_inverse_nat(diag, off, y, s, jitter, backend):
+    """Natural-layout fused (x, sig_diag, sig_off) -- the wide VJPs'
+    backward (the hat walk has no triangular strip algebra left, so the
+    plain layout beats the wide Takahashi variants it replaces)."""
+    n, d = y.shape
+    s = s or default_chunk_len(n)
+    if n < max(_TERMINAL, 2 * s):
+        dec = cr.decompose(diag, off, jitter=jitter)
+        x = cr.solve(dec, y)
+        sd, so = cr.inverse_blocks(dec)
+        return x, sd, so
+    R_cm, O_cm, y_cm, _ = _chunk_layout(diag, off, y, s)
+    x_nat, sd_nat, so_nat = _solve_inverse_from_cm(R_cm, O_cm, y_cm,
+                                                   jitter, backend)
+    return x_nat[:n], sd_nat[:n], so_nat[: n - 1]
 
 
 def inverse_blocks_cm(R_cm: Array, O_cm: Array,

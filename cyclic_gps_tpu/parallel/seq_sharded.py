@@ -329,8 +329,21 @@ def _eliminate_levels(R, O, yt, axis: str, jitter: float, collect: str,
         O_cm = jnp.transpose(O.reshape(d, d, c_loc, s), (3, 0, 1, 2))
         y_cm = jnp.transpose(yt.reshape(d, c_loc, s), (2, 0, 1))
         use_pallas = (backend == "pallas" and s >= 3 and c_loc >= 64
-                      and collect in ("solve", "solve_ldrows", "inverse"))
-        if use_pallas and collect == "inverse":
+                      and collect in ("solve", "solve_ldrows", "inverse",
+                                      "solve_inverse"))
+        if use_pallas and collect == "solve_inverse":
+            from cyclic_gps_tpu.ops.pallas_sweep import (
+                forward_sweep_solveinv_pallas,
+            )
+
+            (acc00, accy0, w0l, wl, dl, invdl, mh_k, ld_k, hc_s, hw0_s,
+             hw_s, pinv_s, _) = forward_sweep_solveinv_pallas(
+                R_cm, O_cm, y_cm, jitter=jitter)
+            state = pt._SweepState(None, w0l, wl, dl, invdl, acc00,
+                                   accy0, mh_k, ld_k)
+            w1 = sb.solve_lower(dl, invdl, sb.transpose(O_cm[s - 1]))
+            stacked = (hc_s, hw0_s, hw_s, pinv_s)  # kernel-tile padded
+        elif use_pallas and collect == "inverse":
             from cyclic_gps_tpu.ops.pallas_sweep import (
                 forward_sweep_inverse_pallas,
             )
@@ -632,6 +645,99 @@ def _inverse_local(R, O, axis: str, jitter: float,
     return diag_loc, off_loc
 
 
+def _solve_inverse_local(R, O, yt, axis: str, jitter: float,
+                         backend: str = "xla"):
+    """Shard-local FUSED (J^{-1} y, selected inverse): ONE elimination
+    ladder down (collect="solve_inverse") + walks up sharing each
+    level's hat stacks -- the sharded analytic VJPs' backward
+    (`_mahal_parts_bwd` / `_rows_parts_bwd`), where round 4 ran two
+    separate ladders (`_solve_local` + `_inverse_local`, each its own
+    full elimination).  Returns (x [d, m] element-major local,
+    sig_diag [d, d, m], sig_off [d, d, m] local; off[..., i] =
+    Sigma_{i+1, i} with the trailing entry crossing the shard edge,
+    zero at the global end).  ``backend="pallas"``: large levels run
+    the solve+inverse collect sweep and the fused descending
+    back-substitution + hat-Takahashi kernel."""
+    d = R.shape[0]
+    shifts = _halo_shifts(axis)
+    levels, R, O, yt, _ = _eliminate_levels(R, O, yt, axis, jitter,
+                                            collect="solve_inverse",
+                                            backend=backend)
+    m_rem = R.shape[-1]
+    Rg = jax.lax.all_gather(R, axis, axis=2, tiled=True)
+    Og = jax.lax.all_gather(O, axis, axis=2, tiled=True)
+    yg = jax.lax.all_gather(yt, axis, axis=1, tiled=True)
+    xg, sdg, sog = pt._solve_inverse_em(Rg, Og, yg, jitter)  # replicated
+    idx = jax.lax.axis_index(axis)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, idx * m_rem, m_rem,
+                                            axis=-1)
+
+    x = sl(xg)  # [d, m_rem]
+    diag_loc = sl(sdg)
+    off_loc = sl(sog)
+
+    for lv in reversed(levels):
+        c_loc = lv["c_loc"]
+        state, w1 = lv["state"], lv["w1"]
+        hc_s, hw0_s, hw_s, pinv_s = lv["stacked"][:4]
+        xb = x  # [d, c_loc] boundary solutions of this level's chunks
+        xb_next = shifts.shift_up(xb)
+        p00 = diag_loc  # Sigma_{b_c, b_c}
+        p10 = off_loc  # Sigma_{b_{c+1}, b_c}
+        p11 = shifts.shift_up(p00)  # next boundary diag (halo right)
+        p01 = sb.transpose(p10)
+        hat_w1 = sb.solve_lower_t(state.dj, state.invd, w1)
+        if lv.get("pallas"):
+            from cyclic_gps_tpu.ops.pallas_sweep import (
+                backward_solve_takahashi_pallas,
+            )
+
+            cpad = hc_s.shape[-1]
+
+            def padz(a):
+                if cpad == c_loc:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.zeros(a.shape[:-1] + (cpad - c_loc,),
+                                  dtype=a.dtype)], axis=-1,
+                )
+
+            def pade(a):
+                if cpad == c_loc:
+                    return a
+                eye = jnp.broadcast_to(
+                    jnp.eye(d, dtype=a.dtype)[:, :, None],
+                    (d, d, cpad - c_loc),
+                )
+                return jnp.concatenate([a, eye], axis=-1)
+
+            (x_rows, diag_rows, off_rows,
+             u0f, u1f) = backward_solve_takahashi_pallas(
+                hc_s, hw0_s, hw_s, pinv_s,
+                padz(hat_w1), padz(xb), padz(xb_next),
+                pade(p00), padz(p01), padz(p10), pade(p11),
+            )
+            interior = x_rows[:, :, :c_loc]
+            diag_int = diag_rows[:, :, :, :c_loc]
+            off_rows = off_rows[:, :, :, :c_loc]
+            u0f, u1f = u0f[:, :, :c_loc], u1f[:, :, :c_loc]
+        else:
+            interior = _level_back_substitute(lv, xb, xb_next)
+            diag_int, off_rows, u0f, u1f = pt._takahashi_hat_walk(
+                hc_s, hw0_s, pinv_s, hat_w1, p00, p01, p10, p11
+            )
+        x_cm = jnp.concatenate([xb[None], interior], axis=0)
+        x = jnp.transpose(x_cm, (1, 2, 0)).reshape(d, -1)
+        off_edge_left = -(sb.matmul(u0f, p00) + sb.matmul(u1f, p10))
+        diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
+        off_cm = jnp.concatenate([off_edge_left[None], off_rows], axis=0)
+        diag_loc = jnp.transpose(diag_cm, (1, 2, 3, 0)).reshape(d, d, -1)
+        off_loc = jnp.transpose(off_cm, (1, 2, 3, 0)).reshape(d, d, -1)
+    return x, diag_loc, off_loc
+
+
 def solve(
     diag: Array, off: Array, y: Array, mesh: Mesh, axis: str = "seq",
     jitter: float = 0.0, backend: str = "xla",
@@ -744,8 +850,10 @@ def _mahal_parts_bwd(axis, jitter, backend, res, cots):
     R, O, yt = res
     gm, gl = cots  # replicated: true cotangents of the psummed totals
     shifts = _halo_shifts(axis)
-    x, _ = _solve_local(R, O, yt, axis, jitter, backend)  # [d, m] local
-    sig_diag, sig_off = _inverse_local(R, O, axis, jitter, backend)
+    # ONE fused elimination ladder serves both backward halves (solve +
+    # selected inversion) -- round 4 ran two separate ladders here.
+    x, sig_diag, sig_off = _solve_inverse_local(R, O, yt, axis, jitter,
+                                                backend)
     x_next = shifts.shift_up(x[:, None, :])[:, 0, :]     # x_{i+1} (halo)
     xo = x[:, None, :] * x[None, :, :]
     xo_off = x_next[:, None, :] * x[None, :, :]
@@ -804,8 +912,8 @@ def _rows_parts_bwd(axis, jitter, backend, res, cots):
     poison = jnp.where(bad, jnp.nan, 0.0).astype(wl.dtype)
     wm = wm + poison
     wl = wl + poison
-    x, _ = _solve_local(R, O, yt, axis, jitter, backend)  # [d, m] local
-    sig_diag, sig_off = _inverse_local(R, O, axis, jitter, backend)
+    x, sig_diag, sig_off = _solve_inverse_local(R, O, yt, axis, jitter,
+                                                backend)
     x_next = shifts.shift_up(x[:, None, :])[:, 0, :]     # x_{i+1} (halo)
     xo = x[:, None, :] * x[None, :, :]
     xo_off = x_next[:, None, :] * x[None, :, :]
@@ -1160,8 +1268,8 @@ def _build_insample_fn(mesh, axis, masked=False):
             params, ts_loc, xs_loc, axis,
             mask_loc[0] if masked else None,
         )
-        x, _ = _solve_local(k_diag_em, k_off_em, v_em, axis, 0.0)
-        cov_d, cov_o = _inverse_local(k_diag_em, k_off_em, axis, 0.0)
+        x, cov_d, cov_o = _solve_inverse_local(k_diag_em, k_off_em,
+                                               v_em, axis, 0.0)
         return sb.vec_from_em(x), sb.from_em(cov_d), sb.from_em(cov_o)
 
     in_specs = (P(), P(axis), P(axis, None)) + (

@@ -87,6 +87,42 @@ def main():
             "compile_s": [round(c_s, 1), round(e_s, 1), round(f_s, 1)],
         }), flush=True)
 
+        # -- GRADIENTS (VERDICT r4 #2): does the filter route's 7.1x
+        # survive differentiation?  Times d(loglik)/d(params) for the
+        # three routes (fused precision sweep = the round-4 training hot
+        # path; filter route; expanded oracle).
+        grads = {}
+        for name, fn in (
+            ("grad_fused", lambda pp, t, x: celerite.log_likelihood(
+                pp, t, x)),
+            ("grad_filter", lambda pp, t, x: celerite.log_likelihood_filter(
+                pp, t, x)),
+        ):
+            gfn = jax.jit(jax.grad(fn))
+            try:
+                t0 = time.time()
+                g = gfn(p, ts, xs)
+                jax.block_until_ready(g)
+                g_compile = time.time() - t0
+                gms = 1e3 * timed(
+                    lambda t, x: gfn(p, t, x).n_diag, ts, xs, iters=10)
+                grads[name + "_ms"] = round(gms, 2)
+                grads[name + "_compile_s"] = round(g_compile, 1)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                grads[name + "_error"] = str(e)[:160]
+        ge = jax.jit(jax.grad(
+            lambda pp, t, x: leg.log_likelihood(pp, t, x)))
+        try:
+            jax.block_until_ready(ge(expanded, ts, xs))
+            grads["grad_expanded_ms"] = round(1e3 * timed(
+                lambda t, x: ge(expanded, t, x).n_params, ts, xs,
+                iters=10), 2)
+        except Exception as e:  # noqa: BLE001
+            grads["grad_expanded_error"] = str(e)[:160]
+        print(json.dumps({
+            "metric": f"celerite_grad_n1e6_nblocks{nb}", **grads,
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -41,7 +41,6 @@ import jax.numpy as jnp  # noqa: E402
 
 from cyclic_gps_tpu.models import leg  # noqa: E402
 from cyclic_gps_tpu.ops import partitioned as pt  # noqa: E402
-from cyclic_gps_tpu.ops import smallblock as sb  # noqa: E402
 from cyclic_gps_tpu.parallel import seq_sharded  # noqa: E402
 
 N = 2 ** (int(_sys.argv[1]) if len(_sys.argv) > 1 else 16)
@@ -119,7 +118,12 @@ def main():
         timeit(lambda: pt.inverse_blocks(k_diag, k_off)),
         timeit(lambda: seq_sharded.inverse_blocks(k_diag, k_off, mesh)))
 
-    # ---- emission gradient alone (expm / Q1-terms adjoint)
+    # ---- emission gradient alone (expm / Q1-terms adjoint).  NOTE:
+    # the two stages are not exactly work-matched -- e_single
+    # differentiates the N-1 raw gap terms only, while the sharded local
+    # adds the gap-valid masking, the eye + shift_down diag assembly and
+    # the signed logdet partial from _peg_precision_local -- so the
+    # reported ratio slightly OVERSTATES the sharded emission cost.
     diffs = jnp.diff(ts)
 
     def e_single(gm):

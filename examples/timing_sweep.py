@@ -67,6 +67,24 @@ def main():
             lambda x: leg.log_likelihood(params, ts, x, regular=True), xs,
             iters=ITERS,
         )
+        # IRREGULAR grid (the fused K-system kernel path on TPU f32)
+        rng = np.random.RandomState(3)
+        ts_irr = jnp.asarray(
+            np.cumsum(rng.randint(1, 5, n) * 0.25), DTYPE)
+        results["pt_loglik_irregular"] = timed(
+            lambda x: leg.log_likelihood(params, ts_irr, x), xs,
+            iters=ITERS,
+        )
+        if n >= 10**4:
+            # STACKED multi-series: B = n / 1000 series x 1000 points
+            # as ONE masked block-tridiagonal system
+            b = n // 1000
+            ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), 1000)
+            results["pt_loglik_stacked"] = timed(
+                lambda x: leg.log_likelihood_stacked(params, ts_irr, x,
+                                                     ids), xs,
+                iters=ITERS,
+            )
         if n <= KF_MAX:
             ssm = kalman.leg_to_ssm(params, ts)
             results["kf_seq_smoother"] = timed(

@@ -254,3 +254,25 @@ def test_pallas_selected_inversion_matches_xla(n):
     # f32 fixtures; the f64 interpret-mode parity is exact (~1e-16)
     np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-6)
     np.testing.assert_allclose(np.asarray(op_), np.asarray(ox), atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [256, 250])  # 250: chunk-pad + kernel-pad
+def test_pallas_fused_solve_inverse_matches_xla(n):
+    """The FUSED backward path (round 5: solve+inverse collect sweep +
+    ONE descending back-substitution + hat-Takahashi kernel) matches the
+    separate solve and selected-inversion paths -- this is the shared
+    backward of every analytic VJP (`pt._solve_inverse_from_cm`)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, s = 3, 8
+    R_cm, O_cm, y_cm = _pallas_system(n, d, s, seed=n + 2)
+    with pltpu.force_tpu_interpret_mode():
+        x_p, sd_p, so_p = pt.solve_and_inverse_cm(R_cm, O_cm, y_cm,
+                                                  backend="pallas")
+    x_x, _ = pt.solve_cm(R_cm, O_cm, y_cm)
+    sd_x, so_x = pt.inverse_blocks_cm(R_cm, O_cm)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x),
+                               atol=1e-5)

@@ -96,3 +96,27 @@ def test_gradients_match_cr_engine():
     for a, b in zip(g_pt[1:], g_cr[1:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_fused_solve_inverse_matches_separate_f64():
+    """The hat-form Takahashi walk + shared collect sweep
+    (`pt._solve_inverse_from_cm`, round 5) reproduces the separate solve
+    and raw-Takahashi selected inversion to f64 machine precision -- the
+    recurrences are algebraically identical (hat_c^T = C D^{-1})."""
+    rng = np.random.RandomState(11)
+    n, d, s = 700, 3, 32
+    q = rng.randn(n, d, d)
+    diag = jnp.asarray(q @ q.transpose(0, 2, 1) / d + 5 * np.eye(d))
+    off = jnp.asarray(rng.randn(n - 1, d, d) / d)
+    y = jnp.asarray(rng.randn(n, d))
+    R_cm, O_cm, y_cm, _ = pt._chunk_layout(diag, off, y, s)
+    x_new, sd_new, so_new = pt.solve_and_inverse_cm(R_cm, O_cm, y_cm,
+                                                    backend="xla")
+    x_old, _ = pt.solve_cm(R_cm, O_cm, y_cm)
+    sd_old, so_old = pt.inverse_blocks_cm(R_cm, O_cm)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_old),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sd_new), np.asarray(sd_old),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(so_new), np.asarray(so_old),
+                               atol=1e-12)
