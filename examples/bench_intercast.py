@@ -77,6 +77,57 @@ def main():
                 "metric": f"intercast_n1e5_p{p}", "value": round(ms, 3),
                 "unit": "ms", "rank": RANK}), flush=True)
 
+        # ---- stage split (VERDICT r4 #5): expm / gather / stitch ----
+        from cyclic_gps_tpu.ops import smallblock as sb
+        from cyclic_gps_tpu.ops.expm_em import expm_em
+
+        g = leg.g_matrix(params)
+
+        def stage_expm(tg, c):
+            geo = leg._intercast_geometry(ts, tg, 1e-10)
+            gaps = jnp.concatenate(geo[7:])  # [4P]
+            return expm_em(-0.5 * gaps[None, None, :] * (c * g[:, :, None]))
+
+        def stage_gather(tg, c):
+            geo = leg._intercast_geometry(ts, tg, 1e-10)
+            _, _, _, _, prev_i, next_i, off_i = geo[:7]
+            m_em = sb.vec_to_em(m) * c
+            cd_em = sb.to_em(cd)
+            co_em = sb.to_em(co)
+            return (m_em[:, prev_i], m_em[:, next_i], cd_em[:, :, prev_i],
+                    cd_em[:, :, next_i], co_em[:, :, off_i])
+
+        def run_stage(fn):
+            @jax.jit
+            def lp(tg, c):
+                def body(i, acc):
+                    out = fn(tg, c + 1e-9 * i.astype(tg.dtype))
+                    return acc + sum(jnp.ravel(l)[0]
+                                     for l in jax.tree.leaves(out))
+                return jax.lax.fori_loop(0, K, body,
+                                         jnp.zeros((), tg.dtype))
+            float(lp(targets, 1.0))
+            times = []
+            for i in range(3):
+                t0 = time.time()
+                float(lp(targets, 1.0 + i * 1e-6))
+                times.append((time.time() - t0) / K)
+            return float(np.median(times) * 1e3)
+
+        try:
+            expm_ms = run_stage(stage_expm)
+            gather_ms = run_stage(stage_gather)
+            print(json.dumps({
+                "metric": f"intercast_stages_n1e5_p{p}",
+                "expm_4p_ms": round(expm_ms, 2),
+                "gather_ms": round(gather_ms, 2),
+                "stitch_rest_ms": round(ms - expm_ms - gather_ms, 2),
+                "total_ms": round(ms, 2)}), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": f"intercast_stages_n1e5_p{p}",
+                "error": str(e)[:120]}), flush=True)
+
 
 if __name__ == "__main__":
     main()
