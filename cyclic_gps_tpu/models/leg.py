@@ -1490,29 +1490,59 @@ def intercast(
     (is_back, is_fwd, hit_first, hit_last, prev_i, next_i, off_i,
      d_back, d_fwd, d1, d2) = _intercast_geometry(ts, target_ts, thresh)
 
-    # All four exponential batches in ONE element-major expm call
-    # (ops/expm_em.py): a vmapped jax.scipy expm over [P, r, r] tile-pads
-    # ~32x on TPU and OOMs at dense prediction grids (P ~ 1e5+); the
-    # element-major form is bounded-memory at any P.
-    from cyclic_gps_tpu.ops.expm_em import expm_em
-
+    # All four exponential batches in ONE element-major expm call: a
+    # vmapped jax.scipy expm over [P, r, r] tile-pads ~32x on TPU and
+    # OOMs at dense prediction grids (P ~ 1e5+); the element-major form
+    # is bounded-memory at any P.  On TPU f32 the batch runs as the
+    # fused Pallas (e, Q) kernel (Q discarded) -- the XLA Pade
+    # pipeline's [r, r, 4P] intermediates round-trip ~130 ms of HBM at
+    # P = 1e6 (round-5 stage split, BENCHMARKS.md); elsewhere the plain
+    # element-major Pade keeps the e-only cost.
     gaps = jnp.concatenate([d_back, d_fwd, d1, d2])  # [4P]
-    egs = expm_em(-0.5 * gaps[None, None, :] * g[:, :, None])
+    if (g.dtype == jnp.float32
+            and pt.resolve_backend("auto") == "pallas"):
+        egs = transition_and_noise_em(g, gaps)[0]
+    else:
+        from cyclic_gps_tpu.ops.expm_em import expm_em
+
+        egs = expm_em(-0.5 * gaps[None, None, :] * g[:, :, None])
     eg_back = egs[:, :, :p]          # element-major [r, r, P]
     eg_fwd = egs[:, :, p:2 * p]
     eg1 = egs[:, :, 2 * p:3 * p]
     eg2 = egs[:, :, 3 * p:]
 
-    # posterior moments element-major, gathered along the TRAILING axis
-    # (a [P, r, r] batch-major gather would re-create the tile blowup)
-    m_em = sb.vec_to_em(ip_mean)        # [r, N]
+    # Posterior moments for the interpolation anchors: ONE row gather of
+    # a packed [N, 2r + 3r^2] matrix by prev_i, then an unpack transpose
+    # to element-major.  Five separate LANE-axis gathers (m/cd by
+    # prev/next, co by off) measured 250 ms at P = 1e6 -- minor-axis
+    # gathers are the slowest op on TPU; a major-axis row gather + one
+    # [P, K] -> [K, P] relayout is ~5x cheaper.  Rows pack
+    # (m_i, m_{i+1}, cd_i, cd_{i+1}, co_i) with clamped shifts: for
+    # every interpolation lane (1 <= idx <= n-1) next_i == prev_i + 1
+    # and off_i == prev_i exactly; forecast/hit lanes read finite
+    # garbage that `select` discards.
+    m_em = sb.vec_to_em(ip_mean)        # [r, N] (first/last anchors)
     cd_em = sb.to_em(ip_cov_diag)       # [r, r, N]
-    co_em = sb.to_em(ip_cov_off)        # [r, r, N-1]
-    m_prev = m_em[:, prev_i]
-    m_next = m_em[:, next_i]
-    p_prev = cd_em[:, :, prev_i]
-    p_next = cd_em[:, :, next_i]
-    c_off = co_em[:, :, off_i]          # Cov(z_next, z_prev | x)
+    n_obs = ip_mean.shape[0]
+    r2 = rank * rank
+    z_pack = jnp.concatenate([
+        ip_mean,
+        jnp.concatenate([ip_mean[1:], ip_mean[-1:]], axis=0),
+        ip_cov_diag.reshape(n_obs, r2),
+        jnp.concatenate([ip_cov_diag[1:], ip_cov_diag[-1:]],
+                        axis=0).reshape(n_obs, r2),
+        jnp.concatenate(
+            [ip_cov_off,
+             jnp.zeros((1, rank, rank), ip_cov_off.dtype)], axis=0
+        ).reshape(n_obs, r2),
+    ], axis=1)                          # [N, 2r + 3r^2]
+    z_g = jnp.transpose(
+        jnp.take(z_pack, prev_i, axis=0, mode="clip"))  # [K, P]
+    m_prev = z_g[:rank]
+    m_next = z_g[rank:2 * rank]
+    p_prev = z_g[2 * rank:2 * rank + r2].reshape(rank, rank, p)
+    p_next = z_g[2 * rank + r2:2 * rank + 2 * r2].reshape(rank, rank, p)
+    c_off = z_g[2 * rank + 2 * r2:].reshape(rank, rank, p)
 
     eye = jnp.eye(rank, dtype=dtype)[:, :, None]
 

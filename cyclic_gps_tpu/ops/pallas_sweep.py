@@ -929,7 +929,10 @@ def backward_solve_takahashi_pallas(hat_cs, hat_w0s, hat_ws, pinvs,
     sm1, d, _, cpad = hat_cs.shape
     # fixed inputs (5 mats + 2 vecs) + double-buffered step blocks +
     # outputs + 4 scratches: ~20 [d, d, ct] buffers -- same halving rule
-    # as the raw Takahashi kernel above d = 9.
+    # as the raw Takahashi kernel above d = 9.  (Round 5 measured the
+    # full 512 tile at d = 10: 58.5 vs 51.3 ms -- the bigger tile LOSES;
+    # VMEM pressure beats the per-step overhead saved, as in the r3
+    # 1024-lane experiment.  The wide kernels are the d > 8 fix.)
     ct = min(_ct_for(d) if d <= 9 else _ct_for(d) // 2, cpad)
     nct = cpad // ct
     s2 = sm1 - 1  # grid step j handles stack row (s2 - j): descending

@@ -857,3 +857,407 @@ def takahashi_backward_wide_pallas(d11s, dsts, invds, c11s, csts,
         ),
     )(d11s, dsts, invds, c11s, csts, w011s, w0sts, *wides)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# FUSED solve + selected inversion, wide (round 5, VERDICT r4 #1): the
+# shared analytic-VJP backward for 8 < d < 16.  One wide collect sweep
+# emits the solve hats PLUS pinv = P^{-1} (hat-form Takahashi needs no
+# triangular ops), and ONE descending kernel runs back-substitution and
+# the hat-form Takahashi walk together -- the wide twin of
+# pallas_sweep.forward_sweep_solveinv_pallas /
+# backward_solve_takahashi_pallas.  At d = 9 the plain kernels move and
+# process 16/9 = 1.78x the useful data on ~6 matrix streams; here every
+# stored stack is 8-aligned and every FMA fully packed.
+# ---------------------------------------------------------------------------
+
+
+def _ct_siw(d: int) -> int:
+    """Chunk tile for the wide solveinv pair.  The descending kernel
+    holds ~20 wide-pair buffers (stacks double-buffered + boundary
+    inputs + scratch); 8-aligned panels are ~35-45% smaller than the
+    plain [d, d, ct] blocks, so ct = 512 fits through d = 13 where the
+    plain kernels halve at d >= 10 (measured rule, pallas_sweep)."""
+    return 512 if d <= 13 else 256
+
+
+def _wide_solveinv_kernel(jit_ref, r11_ref, rst_ref, o11_ref, ost_ref,
+                          o011_ref, o0st_ref, y_ref,
+                          acc11_ref, accst_ref, accy0_ref,
+                          w011_ref, w0st_ref, wl_ref,
+                          d11_ref, dst_ref, invd_ref, stats_ref,
+                          hc11_ref, hcst_ref, hw011_ref, hw0st_ref, hw_ref,
+                          pinv11_ref, pinvst_ref,
+                          cp11_s, cpst_s, w011_s, w0st_s, w_s, acc11_s,
+                          accst_s, accy0_s, stats_s):
+    """`_wide_collect_kernel` emitting ONE extra per-step stack pair:
+    pinv = P_j^{-1} = D^{-T} D^{-1}.  As in the plain solveinv kernel,
+    the hats are built from the per-step triangular inverse
+    di = D^{-1} (one wide inversion + three wide matmuls, replacing the
+    collect kernel's three triangular solves), since pinv needs di
+    anyway."""
+    j = pl.program_id(1)
+    e = rst_ref.shape[1] // 3
+    dtype = r11_ref.dtype
+
+    eye8 = r11_ref[0] * 0.0 + jnp.eye(8, dtype=dtype)[:, :, None]
+    rows_e = jax.lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    eye_e = rst_ref[0, :e] * 0.0 + (rows_e == cols8).astype(dtype)
+    eyest = jnp.concatenate([eye_e * 0.0, eye_e * 0.0, eye_e], axis=0)
+    jit = jit_ref[0, 0]
+    r11 = r11_ref[0] + jit * eye8
+    rst = rst_ref[0] + jit * jnp.concatenate(
+        [eye_e * 0.0, eye_e * 0.0, eye_e], axis=0
+    )
+    o11 = o11_ref[0]
+    ost = ost_ref[0]
+    y_j = y_ref[0]  # [d, 1, ct]
+    y1, y2 = y_j[:8], y_j[8:]
+
+    def emit(D, w011, w0st, w1v, w2v, x11, xst):
+        # x = L^{-1} O^T; the elimination carry is C_j = x^T
+        c11, cst = wb.wtranspose(x11, xst)
+        cp11_s[:] = c11
+        cpst_s[:] = cst
+        w011_s[:] = w011
+        w0st_s[:] = w0st
+        w_s[:] = jnp.concatenate([w1v, w2v], axis=0)
+        d11_ref[:] = D[0]
+        dst_ref[:] = D[1]
+        invd_ref[:] = jnp.concatenate([D[2], D[3]], axis=0)
+        di11, dist = wb.wsolve_lower(*D, eye8, eyest)
+        h11, hst = wb.wmm_tn(di11, dist, x11, xst)
+        hc11_ref[0] = h11
+        hcst_ref[0] = hst
+        g11, gst = wb.wmm_tn(di11, dist, w011, w0st)
+        hw011_ref[0] = g11
+        hw0st_ref[0] = gst
+        hv1, hv2 = wb.wmv_t(di11, dist, w1v, w2v)
+        hw_ref[0] = jnp.concatenate([hv1, hv2], axis=0)
+        q11, qst = wb.wmm_tn(di11, dist, di11, dist)
+        pinv11_ref[0] = q11
+        pinvst_ref[0] = qst
+
+    @pl.when(j == 0)
+    def _():
+        L11, Lst, i1, i2, ld = wb.wchol(r11, rst)
+        D = (L11, Lst, i1, i2)
+        w011, w0st = wb.wsolve_lower(*D, o011_ref[0], o0st_ref[0])
+        w1v, w2v = wb.wsolve_lower_vec(*D, y1, y2)
+        ot11, otst = wb.wtranspose(o11, ost)
+        x11, xst = wb.wsolve_lower(*D, ot11, otst)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = a11
+        accst_s[:] = ast
+        g1, g2 = wb.wmv_t(w011, w0st, w1v, w2v)
+        accy0_s[:] = jnp.concatenate([g1, g2], axis=0)
+        stats_s[0, 0] = jnp.sum(w1v * w1v) + jnp.sum(w2v * w2v)
+        stats_s[0, 1] = ld
+        emit(D, w011, w0st, w1v, w2v, x11, xst)
+
+    @pl.when(j > 0)
+    def _():
+        cp11, cpst = cp11_s[:], cpst_s[:]
+        s11, sst = wb.wmm_nt(cp11, cpst, cp11, cpst)
+        p11, pst = r11 - s11, rst - sst
+        L11, Lst, i1, i2, ld = wb.wchol(p11, pst)
+        D = (L11, Lst, i1, i2)
+        m11, mst = wb.wmm(cp11, cpst, w011_s[:], w0st_s[:])
+        w011, w0st = wb.wsolve_lower(*D, m11, mst)
+        w011, w0st = -w011, -w0st
+        wprev = w_s[:]
+        cv1, cv2 = wb.wmv(cp11, cpst, wprev[:8], wprev[8:])
+        w1v, w2v = wb.wsolve_lower_vec(*D, y1 - cv1, y2 - cv2)
+        ot11, otst = wb.wtranspose(o11, ost)
+        x11, xst = wb.wsolve_lower(*D, ot11, otst)
+        a11, ast = wb.wmm_tn(w011, w0st, w011, w0st)
+        acc11_s[:] = acc11_s[:] + a11
+        accst_s[:] = accst_s[:] + ast
+        g1, g2 = wb.wmv_t(w011, w0st, w1v, w2v)
+        accy0_s[:] = accy0_s[:] + jnp.concatenate([g1, g2], axis=0)
+        stats_s[0, 0] = stats_s[0, 0] + jnp.sum(w1v * w1v) + jnp.sum(
+            w2v * w2v)
+        stats_s[0, 1] = stats_s[0, 1] + ld
+        emit(D, w011, w0st, w1v, w2v, x11, xst)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc11_ref[:] = acc11_s[:]
+        accst_ref[:] = accst_s[:]
+        accy0_ref[:] = accy0_s[:]
+        w011_ref[:] = w011_s[:]
+        w0st_ref[:] = w0st_s[:]
+        wl_ref[:] = w_s[:]
+        ct = pl.program_id(0)
+        stats_ref[ct, 0] = stats_s[0, 0]
+        stats_ref[ct, 1] = stats_s[0, 1]
+
+
+@partial(jax.jit, static_argnames=("jitter",))
+def forward_sweep_solveinv_wide_pallas(R11: Array, Rst: Array, O11: Array,
+                                       Ost: Array, y_cm: Array,
+                                       jitter: float = 0.0):
+    """Wide forward sweep collecting the SHARED backward stacks: the
+    solve hats (hat_c, hat_w0, hat_w) plus pinv for the hat-form
+    Takahashi walk.  Returns the `forward_sweep_collect_wide_pallas`
+    tuple followed by the pinv stacks (pinv11 [s-1, 8, 8, cpad],
+    pinvst [s-1, 3e, 8, cpad]); stacks stay kernel-tile padded
+    (consumed as-is by `backward_solve_takahashi_wide_pallas`)."""
+    s = R11.shape[0]
+    e = Rst.shape[1] // 3
+    d = 8 + e
+    ct = _ct_siw(d)
+    R11, Rst, O11, Ost, y_cm, c = _pad_chunks_wide(
+        R11, Rst, O11, Ost, y_cm, ct)
+    cpad = R11.shape[-1]
+    nct = cpad // ct
+    jit_arr = jnp.full((1, 1), jitter, dtype=R11.dtype)
+    y3 = y_cm[:, :, None, :]
+
+    def b11(idx):
+        return pl.BlockSpec((1, 8, 8, ct), idx, memory_space=pltpu.VMEM)
+
+    def bst(idx):
+        return pl.BlockSpec((1, 3 * e, 8, ct), idx,
+                            memory_space=pltpu.VMEM)
+
+    step = lambda t, j: (j + 1, 0, 0, t)  # noqa: E731
+    first = lambda t, j: (0, 0, 0, t)  # noqa: E731
+    hat = lambda t, j: (j, 0, 0, t)  # noqa: E731
+    out11 = pl.BlockSpec((8, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outst = pl.BlockSpec((3 * e, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    outv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                        memory_space=pltpu.VMEM)
+    m11 = jax.ShapeDtypeStruct((8, 8, cpad), R11.dtype)
+    mst = jax.ShapeDtypeStruct((3 * e, 8, cpad), R11.dtype)
+    vec = jax.ShapeDtypeStruct((d, 1, cpad), R11.dtype)
+    s11 = jax.ShapeDtypeStruct((s - 1, 8, 8, cpad), R11.dtype)
+    sst = jax.ShapeDtypeStruct((s - 1, 3 * e, 8, cpad), R11.dtype)
+    svec = jax.ShapeDtypeStruct((s - 1, d, 1, cpad), R11.dtype)
+
+    outs = pl.pallas_call(
+        _wide_solveinv_kernel,
+        grid=(nct, s - 1),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            b11(step), bst(step), b11(step), bst(step),
+            b11(first), bst(first),
+            pl.BlockSpec((1, d, 1, ct), lambda t, j: (j + 1, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out11, outst, outv, out11, outst, outv,
+                   out11, outst, outv,
+                   pl.BlockSpec((nct, 2), lambda t, j: (0, 0),
+                                memory_space=pltpu.SMEM),
+                   b11(hat), bst(hat), b11(hat), bst(hat),
+                   pl.BlockSpec((1, d, 1, ct), hat,
+                                memory_space=pltpu.VMEM),
+                   b11(hat), bst(hat)],
+        out_shape=[m11, mst, vec, m11, mst, vec, m11, mst, vec,
+                   jax.ShapeDtypeStruct((nct, 2), R11.dtype),
+                   s11, sst, s11, sst, svec, s11, sst],
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((d, 1, ct), R11.dtype),
+            pltpu.VMEM((8, 8, ct), R11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), R11.dtype),
+            pltpu.VMEM((d, 1, ct), R11.dtype),
+            pltpu.SMEM((1, 2), R11.dtype),
+        ],
+    )(jit_arr, R11, Rst, O11, Ost, O11, Ost, y3)
+    (acc11, accst, accy0, w011, w0st, wl, d11, dst, invd, stats,
+     hc11, hcst, hw011, hw0st, hw, pinv11, pinvst) = outs
+
+    def cut(x):
+        return x[..., :c]
+
+    mh = jnp.sum(stats[:, 0])
+    ld = jnp.sum(stats[:, 1])
+    if cpad != c and jitter:
+        from cyclic_gps_tpu.ops.pallas_sweep import _pad_jitter_ld
+
+        ld = ld - _pad_jitter_ld(s, d, cpad - c, jitter, R11.dtype)
+    return (cut(acc11), cut(accst), cut(accy0)[:, 0, :],
+            cut(w011), cut(w0st), cut(wl)[:, 0, :],
+            cut(d11), cut(dst), cut(invd)[:, 0, :], mh, ld,
+            hc11, hcst, hw011, hw0st, hw, pinv11, pinvst)
+
+
+def _wide_backsolve_takahashi_kernel(
+        hc11_ref, hcst_ref, hw011_ref, hw0st_ref, hw_ref,
+        pinv11_ref, pinvst_ref,
+        hw111_ref, hw1st_ref, xb_ref, xbn_ref,
+        p0011_ref, p00st_ref, p0111_ref, p01st_ref,
+        p1011_ref, p10st_ref, p1111_ref, p11st_ref,
+        x_ref, diag11_ref, diagst_ref, off11_ref, offst_ref,
+        u0f11_ref, u0fst_ref, u1f11_ref, u1fst_ref,
+        xnext_s, phi11_s, phist_s, u011_s, u0st_s, u111_s, u1st_s):
+    """Wide twin of pallas_sweep._backsolve_takahashi_kernel: ONE
+    descending pass running the back-substitution AND the hat-form
+    Takahashi recursion on the shared wide hat stacks (grid step j
+    handles stack row sm1-1-j = elimination step s-1-j; the j = 0 step
+    IS the s-1 seed).  All per-step algebra is plain wide matmuls --
+    no triangular ops left."""
+    j = pl.program_id(1)
+    hc = (hc11_ref[0], hcst_ref[0])
+    hw0 = (hw011_ref[0], hw0st_ref[0])
+    pinv = (pinv11_ref[0], pinvst_ref[0])
+    hw1 = (hw111_ref[:], hw1st_ref[:])
+    p00 = (p0011_ref[:], p00st_ref[:])
+    p01 = (p0111_ref[:], p01st_ref[:])
+    p10 = (p1011_ref[:], p10st_ref[:])
+    p11 = (p1111_ref[:], p11st_ref[:])
+    hw = hw_ref[0]
+
+    def mm(a, b):
+        return wb.wmm(a[0], a[1], b[0], b[1])
+
+    def tr(a):
+        return wb.wtranspose(a[0], a[1])
+
+    def add(a, b):
+        return a[0] + b[0], a[1] + b[1]
+
+    def sub(a, b):
+        return a[0] - b[0], a[1] - b[1]
+
+    def neg(a):
+        return -a[0], -a[1]
+
+    def mv(a, x1, x2):
+        return wb.wmv(a[0], a[1], x1, x2)
+
+    def sig_ut(u0, u1):
+        ut0 = tr(u0)
+        ut1 = tr(u1)
+        a0 = add(mm(p00, ut0), mm(p01, ut1))
+        a1 = add(mm(p10, ut0), mm(p11, ut1))
+        return a0, a1
+
+    h1, h2 = mv(hw0, xb_ref[:8], xb_ref[8:])
+    c1 = hw[:8] - h1
+    c2 = hw[8:] - h2
+
+    @pl.when(j == 0)
+    def _():
+        # solve: last interior row (carries the W1 term, no x_{j+1})
+        g1, g2 = mv(hw1, xbn_ref[:8], xbn_ref[8:])
+        x = jnp.concatenate([c1 - g1, c2 - g2], axis=0)
+        x_ref[0] = x
+        xnext_s[:] = x
+        # Takahashi seed at step s-1 + its output rows
+        phi = pinv
+        u0 = hw0
+        u1 = hw1
+        a0, a1 = sig_ut(u0, u1)
+        dg = add(phi, add(mm(u0, a0), mm(u1, a1)))
+        diag11_ref[0], diagst_ref[0] = dg
+        off11_ref[0], offst_ref[0] = neg(a1)
+        phi11_s[:], phist_s[:] = phi
+        u011_s[:], u0st_s[:] = u0
+        u111_s[:], u1st_s[:] = u1
+
+    @pl.when(j > 0)
+    def _():
+        xn = xnext_s[:]
+        g1, g2 = mv(hc, xn[:8], xn[8:])
+        x = jnp.concatenate([c1 - g1, c2 - g2], axis=0)
+        x_ref[0] = x
+        xnext_s[:] = x
+        phi_n = (phi11_s[:], phist_s[:])
+        u0_n = (u011_s[:], u0st_s[:])
+        u1_n = (u111_s[:], u1st_s[:])
+        t = mm(phi_n, tr(hc))                  # phi_{j+1} hat_c^T
+        phi_j = add(pinv, mm(hc, t))
+        u0_j = sub(hw0, mm(hc, u0_n))
+        u1_j = neg(mm(hc, u1_n))
+        a0, a1 = sig_ut(u0_j, u1_j)
+        dg = add(phi_j, add(mm(u0_j, a0), mm(u1_j, a1)))
+        diag11_ref[0], diagst_ref[0] = dg
+        of = add(neg(t), add(mm(u0_n, a0), mm(u1_n, a1)))
+        off11_ref[0], offst_ref[0] = of
+        phi11_s[:], phist_s[:] = phi_j
+        u011_s[:], u0st_s[:] = u0_j
+        u111_s[:], u1st_s[:] = u1_j
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        u0f11_ref[:] = u011_s[:]
+        u0fst_ref[:] = u0st_s[:]
+        u1f11_ref[:] = u111_s[:]
+        u1fst_ref[:] = u1st_s[:]
+
+
+@jax.jit
+def backward_solve_takahashi_wide_pallas(hc11, hcst, hw011, hw0st, hw,
+                                         pinv11, pinvst,
+                                         hw1_11, hw1_st, xb, xb_next,
+                                         p00, p01, p10, p11):
+    """Fused wide back-substitution + hat-form Takahashi over the shared
+    stacks (steps s-1 .. 1, descending).  Stacks as produced by
+    `forward_sweep_solveinv_wide_pallas` (kernel-tile padded); the
+    chunk-level inputs (hw1 pair, xb / xb_next [d, 1, C], and the
+    reduced selected-inverse blocks p00..p11 as (a11, st) pairs) must be
+    padded to the same width.  Returns
+    (x rows [s-1, d, cpad] steps 1..s-1,
+     diag pairs [s-1, ., ., cpad] = Sigma_jj steps 1..s-1,
+     off pairs = Sigma_{j+1, j} rows 1..s-1 (the last is the right-edge
+     block), u0_final pair, u1_final pair)."""
+    sm1 = hc11.shape[0]
+    e = hcst.shape[1] // 3
+    d = 8 + e
+    cpad = hc11.shape[-1]
+    ct = min(_ct_siw(d), cpad)
+    nct = cpad // ct
+    s2 = sm1 - 1  # grid step j handles stack row (s2 - j): descending
+    desc11 = pl.BlockSpec((1, 8, 8, ct), lambda t, j: (s2 - j, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+    descst = pl.BlockSpec((1, 3 * e, 8, ct),
+                          lambda t, j: (s2 - j, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+    descv = pl.BlockSpec((1, d, 1, ct), lambda t, j: (s2 - j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fix11 = pl.BlockSpec((8, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fixst = pl.BlockSpec((3 * e, 8, ct), lambda t, j: (0, 0, t),
+                         memory_space=pltpu.VMEM)
+    fixv = pl.BlockSpec((d, 1, ct), lambda t, j: (0, 0, t),
+                        memory_space=pltpu.VMEM)
+    s11 = jax.ShapeDtypeStruct((sm1, 8, 8, cpad), hc11.dtype)
+    sst = jax.ShapeDtypeStruct((sm1, 3 * e, 8, cpad), hc11.dtype)
+    svec = jax.ShapeDtypeStruct((sm1, d, 1, cpad), hc11.dtype)
+    m11 = jax.ShapeDtypeStruct((8, 8, cpad), hc11.dtype)
+    mst = jax.ShapeDtypeStruct((3 * e, 8, cpad), hc11.dtype)
+    outs = pl.pallas_call(
+        _wide_backsolve_takahashi_kernel,
+        grid=(nct, sm1),
+        in_specs=[desc11, descst, desc11, descst, descv,
+                  desc11, descst,
+                  fix11, fixst, fixv, fixv,
+                  fix11, fixst, fix11, fixst,
+                  fix11, fixst, fix11, fixst],
+        out_specs=[descv, desc11, descst, desc11, descst,
+                   fix11, fixst, fix11, fixst],
+        out_shape=[svec, s11, sst, s11, sst, m11, mst, m11, mst],
+        scratch_shapes=[
+            pltpu.VMEM((d, 1, ct), hc11.dtype),
+            pltpu.VMEM((8, 8, ct), hc11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), hc11.dtype),
+            pltpu.VMEM((8, 8, ct), hc11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), hc11.dtype),
+            pltpu.VMEM((8, 8, ct), hc11.dtype),
+            pltpu.VMEM((3 * e, 8, ct), hc11.dtype),
+        ],
+    )(hc11, hcst, hw011, hw0st, hw, pinv11, pinvst,
+      hw1_11, hw1_st, xb[:, None, :], xb_next[:, None, :],
+      p00[0], p00[1], p01[0], p01[1], p10[0], p10[1], p11[0], p11[1])
+    x_rows, dg11, dgst, of11, ofst, u0f11, u0fst, u1f11, u1fst = outs
+    return (x_rows[:, :, 0, :], (dg11, dgst), (of11, ofst),
+            (u0f11, u0fst), (u1f11, u1fst))

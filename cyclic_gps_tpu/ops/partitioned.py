@@ -556,22 +556,60 @@ def _mahal_wide(diag, off, y, s, jitter):
     return _mahal_wide_primal(diag, off, y, s, jitter)
 
 
+def _y_cm_of(y, s):
+    """Natural [n, d] -> chunk-major [s, d, C] (zero-padded)."""
+    n, d = y.shape
+    c = -(-n // s)
+    m = c * s
+    if m > n:
+        y = jnp.concatenate([y, jnp.zeros((m - n, d), y.dtype)], axis=0)
+    return jnp.transpose(y.reshape(c, s, d), (1, 2, 0))
+
+
+def _nat_from_wide_cm(a11, ast, rows):
+    """Wide chunk-major stack [s, ., ., C] -> natural [rows, d, d]
+    (the XLA-backend fallback of the wide VJP backwards)."""
+    full = _from_wide_stack(a11, ast)            # [s, d, d, C]
+    d = full.shape[1]
+    nat = jnp.transpose(full, (3, 0, 1, 2)).reshape(-1, d, d)
+    return nat[:rows]
+
+
+def _solve_inverse_from_wide(r11, rst, o11, ost, y, jitter):
+    """(x, sig_diag, sig_off) from CACHED wide residuals: under the
+    pallas backend the wide fused pair runs directly (no natural->wide
+    relayout -- the forward already paid it); under XLA (CPU oracles)
+    the natural arrays are reconstructed first."""
+    n = y.shape[0]
+    s = r11.shape[0]
+    if resolve_backend("auto") == "pallas":
+        x_pad, sd_pad, so_pad = _solve_inverse_wide_cm(
+            r11, rst, o11, ost, _y_cm_of(y, s), jitter)
+        return x_pad[:n], sd_pad[:n], so_pad[: n - 1]
+    diag = _nat_from_wide_cm(r11, rst, n)
+    off = _nat_from_wide_cm(o11, ost, n - 1)
+    return _solve_inverse_nat(diag, off, y, s, jitter,
+                              resolve_backend("auto"))
+
+
 def _mahal_wide_fwd(diag, off, y, s, jitter):
-    return _mahal_wide_primal(diag, off, y, s, jitter), (diag, off, y)
+    r11, rst, o11, ost, y_cm, c = _chunk_layout_wide(diag, off, y, s)
+    out = _mahal_wide_cm_primal(r11, rst, o11, ost, y_cm, c, jitter)
+    # WIDE residuals: the backward reuses the forward's relayout (at
+    # N = 1e6 d = 9 the natural -> wide pass is ~18 ms on device --
+    # round-5 bench_backward)
+    return out, (r11, rst, o11, ost, y)
 
 
 def _mahal_wide_bwd(s, jitter, res, cots):
     """Same analytic adjoint as `_mahal_cm_bwd`, natural layout.  The
-    backward runs the FUSED plain-layout solve+inverse (one collect
-    sweep + one descending pass): with the triangular strip algebra
-    gone from the hat-form Takahashi walk, the plain kernels beat the
-    wide solve + wide/plain Takahashi pair they replace."""
-    diag, off, y = res
+    backward runs the FUSED wide solve+inverse (one wide collect sweep
+    + one wide descending pass, round 5) straight on the cached wide
+    residuals."""
+    r11, rst, o11, ost, y = res
     gm, gl = cots
-    n, d, _ = diag.shape
-    backend = resolve_backend("auto")
-    x, sig_diag, sig_off = _solve_inverse_nat(diag, off, y, s, jitter,
-                                              backend)
+    x, sig_diag, sig_off = _solve_inverse_from_wide(r11, rst, o11, ost,
+                                                    y, jitter)
     xo = x[:, :, None] * x[:, None, :]
     xo_off = x[1:, :, None] * x[:-1, None, :]
     g_diag = gl * sig_diag - gm * xo
@@ -642,20 +680,22 @@ def _solve_wide(diag, off, y, s, jitter):
 
 
 def _solve_wide_fwd(diag, off, y, s, jitter):
-    x_pad, ld = _solve_wide_primal(diag, off, y, s, jitter)
-    x = x_pad[: diag.shape[0]]
-    return (x, ld), (diag, off, y, x)
+    r11, rst, o11, ost, y_cm, c = _chunk_layout_wide(diag, off, y, s)
+    x_cm, ld = solve_and_logdet_wide(r11, rst, o11, ost, y_cm, jitter)
+    s_, d, c_ = x_cm.shape
+    x = jnp.transpose(x_cm, (2, 0, 1)).reshape(c_ * s_, d)[: diag.shape[0]]
+    # WIDE residuals (see _mahal_wide_fwd)
+    return (x, ld), (r11, rst, o11, ost, x)
 
 
 def _solve_wide_bwd(s, jitter, res, cots):
     """Same analytic adjoint as `_solve_cm_bwd`, natural layout; the
-    fused plain-layout solve+inverse backward (see `_mahal_wide_bwd`)."""
-    diag, off, y, x = res
+    fused wide solve+inverse backward on the cached wide residuals
+    (see `_mahal_wide_bwd`)."""
+    r11, rst, o11, ost, x = res
     gx, gl = cots
-    n, d, _ = diag.shape
-    backend = resolve_backend("auto")
-    u, sig_diag, sig_off = _solve_inverse_nat(diag, off, gx, s, jitter,
-                                              backend)
+    u, sig_diag, sig_off = _solve_inverse_from_wide(r11, rst, o11, ost,
+                                                    gx, jitter)
     g_diag = gl * sig_diag - u[:, :, None] * x[:, None, :]
     g_off = (
         2.0 * gl * sig_off
@@ -1688,10 +1728,121 @@ def solve_and_inverse_cm(R_cm: Array, O_cm: Array, y_cm: Array,
                                   resolve_backend(backend))
 
 
+def _from_wide_stack(a11, st):
+    """wb.from_wide over a leading stack axis: (a11 [m, 8, 8, C],
+    st [m, 3e, 8, C]) -> [m, d, d, C]."""
+    e = st.shape[1] // 3
+    a21 = st[:, :e]
+    a12 = jnp.swapaxes(st[:, e:2 * e], 1, 2)
+    a22 = st[:, 2 * e:][:, :, :e, :]
+    top = jnp.concatenate([a11, a12], axis=2)
+    bot = jnp.concatenate([a21, a22], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def _pad_wide_pair(pair, npad, eye):
+    """Right-pad a wide (a11, st) pair's chunk axis by ``npad`` lanes
+    with identity (``eye=True``) or zero blocks."""
+    a11, st = pair
+    if not npad:
+        return a11, st
+    e = st.shape[0] // 3
+    dt = a11.dtype
+    if eye:
+        p11 = jnp.broadcast_to(jnp.eye(8, dtype=dt)[:, :, None],
+                               (8, 8, npad))
+        pst = jnp.concatenate([
+            jnp.zeros((2 * e, 8, npad), dt),
+            jnp.broadcast_to(jnp.eye(e, 8, dtype=dt)[:, :, None],
+                             (e, 8, npad)),
+        ], axis=0)
+    else:
+        p11 = jnp.zeros((8, 8, npad), dt)
+        pst = jnp.zeros((3 * e, 8, npad), dt)
+    return (jnp.concatenate([a11, p11], axis=-1),
+            jnp.concatenate([st, pst], axis=-1))
+
+
+def _solve_inverse_wide_cm(r11, rst, o11, ost, y_cm, jitter):
+    """Fused (x = J^{-1} y, selected inverse) on WIDE chunk-major inputs
+    (round 5): one wide collect sweep (hats + pinv) and ONE wide
+    descending kernel for both upward walks.  Returns padded
+    natural-order (x [C*s, d], sig_diag [C*s, d, d], sig_off [C*s, d, d]
+    with row i = Sigma_{i+1, i}) -- same contract as
+    `_solve_inverse_from_cm`."""
+    from cyclic_gps_tpu.ops import pallas_wide as pw
+    from cyclic_gps_tpu.ops import wideblock as wb
+
+    s = r11.shape[0]
+    c = r11.shape[-1]
+    d = 8 + rst.shape[1] // 3
+    (acc11, accst, accy0, w011, w0st, wl, d11, dst, invd, mh, ld,
+     hc11, hcst, hw011, hw0st, hws, pinv11,
+     pinvst) = pw.forward_sweep_solveinv_wide_pallas(
+        r11, rst, o11, ost, y_cm, jitter=jitter)
+    i1 = invd[:8][:, None, :]
+    i2 = invd[8:][:, None, :]
+    Dw = (d11, dst, i1, i2)
+    ot11, otst = wb.wtranspose(o11[s - 1], ost[s - 1])
+    w1_11, w1_st = wb.wsolve_lower(*Dw, ot11, otst)
+    hw1_11, hw1_st = wb.wsolve_lower_t(*Dw, w1_11, w1_st)
+    # C-sized plain conversions for the reduced boundary system
+    state = _SweepState(
+        None, wb.from_wide(w011, w0st), wl, wb.from_wide(d11, dst),
+        invd, wb.from_wide(acc11, accst), accy0, mh, ld,
+    )
+    w1 = wb.from_wide(w1_11, w1_st)
+    r0 = wb.from_wide(r11[0], rst[0])
+    red_diag, red_off, red_rhs = _reduced_system(
+        r0[None], y_cm[:1], state, w1
+    )
+    xb, p00, p10 = _solve_inverse_em(red_diag, red_off, red_rhs, jitter)
+    p11 = sb.shift_up(p00)
+    p01 = sb.transpose(p10)
+    xb_next = sb.shift_up(xb)
+
+    cpad = hc11.shape[-1]
+    npad = cpad - c
+
+    def padz(a):
+        if not npad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (npad,), dtype=a.dtype)],
+            axis=-1,
+        )
+
+    (x_rows, dg_pair, of_pair, u0f_pair,
+     u1f_pair) = pw.backward_solve_takahashi_wide_pallas(
+        hc11, hcst, hw011, hw0st, hws, pinv11, pinvst,
+        padz(hw1_11), padz(hw1_st), padz(xb), padz(xb_next),
+        _pad_wide_pair(wb.to_wide(p00), npad, eye=True),
+        _pad_wide_pair(wb.to_wide(p01), npad, eye=False),
+        _pad_wide_pair(wb.to_wide(p10), npad, eye=False),
+        _pad_wide_pair(wb.to_wide(p11), npad, eye=True),
+    )
+    interior = x_rows[:, :, :c]
+    diag_int = _from_wide_stack(dg_pair[0][..., :c], dg_pair[1][..., :c])
+    off_rows = _from_wide_stack(of_pair[0][..., :c], of_pair[1][..., :c])
+    u0f = wb.from_wide(u0f_pair[0][..., :c], u0f_pair[1][..., :c])
+    u1f = wb.from_wide(u1f_pair[0][..., :c], u1f_pair[1][..., :c])
+
+    off_edge_left = -(sb.matmul(u0f, p00) + sb.matmul(u1f, p10))
+    diag_cm = jnp.concatenate([p00[None], diag_int], axis=0)
+    off_cm = jnp.concatenate([off_edge_left[None], off_rows], axis=0)
+    sig_diag = jnp.transpose(diag_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    sig_off = jnp.transpose(off_cm, (3, 0, 1, 2)).reshape(-1, d, d)
+    x_cm = jnp.concatenate([xb[None], interior], axis=0)
+    x_nat = jnp.transpose(x_cm, (2, 0, 1)).reshape(c * s, d)
+    return x_nat, sig_diag, sig_off
+
+
 def _solve_inverse_nat(diag, off, y, s, jitter, backend):
     """Natural-layout fused (x, sig_diag, sig_off) -- the wide VJPs'
-    backward (the hat walk has no triangular strip algebra left, so the
-    plain layout beats the wide Takahashi variants it replaces)."""
+    backward.  For 8 < d < 16 under the pallas backend this routes
+    through the WIDE fused pair (8-aligned stacks + blocked-panel
+    matmuls; the hat-form walk has no triangular ops, so the wide
+    algebra wins where the RAW wide Takahashi lost at d >= 12)."""
     n, d = y.shape
     s = s or default_chunk_len(n)
     if n < max(_TERMINAL, 2 * s):
@@ -1699,6 +1850,11 @@ def _solve_inverse_nat(diag, off, y, s, jitter, backend):
         x = cr.solve(dec, y)
         sd, so = cr.inverse_blocks(dec)
         return x, sd, so
+    if 8 < d < 16 and backend == "pallas":
+        r11, rst, o11, ost, y_cm, _ = _chunk_layout_wide(diag, off, y, s)
+        x_nat, sd_nat, so_nat = _solve_inverse_wide_cm(
+            r11, rst, o11, ost, y_cm, jitter)
+        return x_nat[:n], sd_nat[:n], so_nat[: n - 1]
     R_cm, O_cm, y_cm, _ = _chunk_layout(diag, off, y, s)
     x_nat, sd_nat, so_nat = _solve_inverse_from_cm(R_cm, O_cm, y_cm,
                                                    jitter, backend)

@@ -61,7 +61,9 @@ def make_system_cm(n, d, dtype=np.float32, seed=0):
     R_cm = jnp.asarray(diag.reshape(c, s, d, d).transpose(1, 2, 3, 0))
     O_cm = jnp.asarray(off.reshape(c, s, d, d).transpose(1, 2, 3, 0))
     y_cm = jnp.asarray(v.reshape(c, s, d).transpose(1, 2, 0))
-    return R_cm, O_cm, y_cm
+    nat = (jnp.asarray(diag[:n]), jnp.asarray(off[: n - 1]),
+           jnp.asarray(v[:n]))
+    return R_cm, O_cm, y_cm, nat
 
 
 def timeit(fn, R, O, y, perturb):
@@ -95,7 +97,7 @@ def main():
     dmin = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     dmax = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     for d in range(dmin, dmax + 1):
-        R, O, y = make_system_cm(N, d)
+        R, O, y, nat = make_system_cm(N, d)
         out = {"metric": f"backward_n1e6_d{d}", "backend": backend,
                "unit": "ms"}
 
@@ -129,6 +131,73 @@ def main():
         except Exception as e:  # noqa: BLE001 - report and continue
             out["error"] = str(e)[:160]
         print(json.dumps(out), flush=True)
+
+        # WIDE-entry rows (8 < d < 16): the natural-layout library route
+        # (solve_and_logdet dispatches the wide collect sweep; the
+        # analytic-VJP backward routes through the round-5 wide fused
+        # solveinv pair).  Both columns include the natural -> wide
+        # relayout, so the ratio is the honest library-level one.
+        if 8 < d < 16 and backend == "pallas":
+            dn, on, yn = nat
+            s_w = pt.default_chunk_len(N)
+            r11, rst, o11, ost, y_wcm, _ = pt._chunk_layout_wide(
+                dn, on, yn, s_w)
+            wout = {"metric": f"backward_wide_n1e6_d{d}",
+                    "backend": backend, "unit": "ms"}
+
+            def fwd_w(dg, of, yy):
+                # natural library entry: includes the natural -> wide
+                # relayout (the forward primal's true cost)
+                return pt.solve_and_logdet(dg, of, yy, backend="pallas")
+
+            # the VJP-backward reality: wide residuals are CACHED by the
+            # forward, so the backward starts from wide inputs.  All five
+            # arrays are ARGUMENTS (a closure over rst/ost serializes
+            # ~150 MB into the remote-compile request -> HTTP 413 /
+            # broken pipe; CLAUDE.md round-3 gotcha).
+            @jax.jit
+            def loop_wcm(r11p, rstp, o11p, ostp, ycmp, cs):
+                def body(i, acc):
+                    e = cs + 1e-9 * i.astype(r11p.dtype)
+                    out = pt._solve_inverse_wide_cm(
+                        r11p, rstp, o11p, ostp, ycmp * e, 0.0)
+                    return acc + sum(jnp.ravel(a)[0]
+                                     for a in jax.tree.leaves(out))
+                return jax.lax.fori_loop(0, K, body,
+                                         jnp.zeros((), r11p.dtype))
+
+            def time_wcm():
+                float(loop_wcm(r11, rst, o11, ost, y_wcm, 1.0))
+                times = []
+                for i in range(3):
+                    t0 = time.time()
+                    float(loop_wcm(r11, rst, o11, ost, y_wcm,
+                                   1.0 + i * 1e-6))
+                    times.append((time.time() - t0) / K)
+                return float(np.median(times) * 1e3)
+
+            def loss_w(dg, of, yy):
+                m, ld = pt.mahal_and_logdet(dg, of, yy,
+                                            backend="pallas")
+                return m + ld
+
+            gfn = jax.grad(loss_w, argnums=(0, 1, 2))
+
+            try:
+                wout["fwd_solve_wide"] = round(
+                    timeit(fwd_w, dn, on, yn, "y"), 3)
+                wout["bwd_fused_wide_cm"] = round(time_wcm(), 3)
+                wout["ratio_wide"] = round(
+                    wout["bwd_fused_wide_cm"] / wout["fwd_solve_wide"],
+                    3)
+                # user-level: full VJP of the fused (mahal, logdet)
+                # through the wide custom VJP (fwd + cached-wide bwd +
+                # cotangent assembly)
+                wout["grad_mahal_wide"] = round(
+                    timeit(gfn, dn, on, yn, "y"), 3)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                wout["error"] = str(e)[:160]
+            print(json.dumps(wout), flush=True)
 
 
 if __name__ == "__main__":

@@ -114,14 +114,22 @@ def main():
                 times.append((time.time() - t0) / K)
             return float(np.median(times) * 1e3)
 
+        def stage_geometry(tg, c):
+            return leg._intercast_geometry(ts * c, tg, 1e-10)
+
         try:
+            geo_ms = run_stage(stage_geometry)
             expm_ms = run_stage(stage_expm)
             gather_ms = run_stage(stage_gather)
+            # geometry is recomputed inside BOTH stages above; subtract
+            # it once so the three exclusive parts + geo sum to total
             print(json.dumps({
                 "metric": f"intercast_stages_n1e5_p{p}",
-                "expm_4p_ms": round(expm_ms, 2),
-                "gather_ms": round(gather_ms, 2),
-                "stitch_rest_ms": round(ms - expm_ms - gather_ms, 2),
+                "geometry_ms": round(geo_ms, 2),
+                "expm_4p_ms": round(expm_ms - geo_ms, 2),
+                "gather_ms": round(gather_ms - geo_ms, 2),
+                "stitch_rest_ms": round(ms - expm_ms - gather_ms + geo_ms,
+                                        2),
                 "total_ms": round(ms, 2)}), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({

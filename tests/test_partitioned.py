@@ -120,3 +120,30 @@ def test_fused_solve_inverse_matches_separate_f64():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(so_new), np.asarray(so_old),
                                atol=1e-12)
+
+
+@pytest.mark.parametrize("d", [9, 12])
+def test_wide_fused_solve_inverse_matches_xla(d):
+    """The WIDE fused backward (round 5: wide solveinv collect sweep +
+    wide descending back-substitution/hat-Takahashi kernel,
+    `pt._solve_inverse_wide_cm`) matches the XLA hat-walk path in
+    interpret mode -- the 8 < d < 16 analytic-VJP backward route."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, s = 200, 8
+    rng = np.random.RandomState(d)
+    q = rng.randn(n, d, d)
+    diag = jnp.asarray(
+        (q @ q.transpose(0, 2, 1) / d + 4 * np.eye(d)).astype(np.float32))
+    off = jnp.asarray((rng.randn(n - 1, d, d) / d).astype(np.float32))
+    y = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    x_x, sd_x, so_x = pt._solve_inverse_nat(diag, off, y, s, 0.0, "xla")
+    with pltpu.force_tpu_interpret_mode():
+        x_p, sd_p, so_p = pt._solve_inverse_nat(diag, off, y, s, 0.0,
+                                                "pallas")
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sd_p), np.asarray(sd_x),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x),
+                               atol=2e-4)
