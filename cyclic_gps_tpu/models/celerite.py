@@ -503,8 +503,10 @@ def log_likelihood_filter(params: CeleriteParams, ts: Array, xs: Array,
         out = _cel_filter_pallas(g_blocks(params), params.b, lam, ts, xs, s)
         return cf.boundary_loglik_em(out, nq)
     e_cm, q_cm, y_cm, valid = _filter_inputs(params, ts, xs, s)
-    out = cf.conditional_filter_xla(e_cm, q_cm, params.b, lam, y_cm,
-                                    valid)
+    # custom-vjp entry: gradients run the ANALYTIC O(r^2 q) adjoint
+    # (ops/chunked_filter.conditional_filter_adjoint_xla), not autodiff
+    # through the scan
+    out = cf.conditional_filter(e_cm, q_cm, params.b, lam, y_cm, valid)
     return cf.boundary_loglik(out, nq)
 
 
@@ -536,8 +538,10 @@ def _cel_filter_pallas_fwd(gb, b, lam, ts, xs, s):
 
 
 def _cel_filter_pallas_bwd(s, res, cots):
-    """Replay the XLA filter twin (plain scan autodiff; exact same
-    recursion, so gradients match the kernel's primal exactly)."""
+    """Replay the XLA filter twin through its ANALYTIC adjoint
+    (`cf.conditional_filter`'s custom VJP -- same recursion as the
+    kernel's primal, so gradients match it exactly; the scan part costs
+    O(r^2 q)/step instead of autodiff's residual-stream replay)."""
     from cyclic_gps_tpu.ops import chunked_filter as cf
 
     gb, b, lam, ts, xs = res
@@ -574,7 +578,7 @@ def _cel_filter_pallas_bwd(s, res, cots):
             [xs_, jnp.zeros((m - n, qd), dtype=xs_.dtype)], axis=0
         )
         y_cm = jnp.transpose(xs_pad.reshape(c, s, qd), (1, 0, 2))
-        H, h, c0, ld, F, a, P = cf.conditional_filter_xla(
+        H, h, c0, ld, F, a, P = cf.conditional_filter(
             e_full, q_full, b_, lam_, y_cm, is_real)
         # element-major, matching the pallas primal's output layout
         # (the transposes run in the backward replay only)

@@ -130,6 +130,199 @@ def conditional_filter_xla(e_cm: Array, q_cm: Array, bmat: Array,
     return ChunkFilterOut(H, h, c0, ld, F, a, P)
 
 
+def conditional_filter_collect_xla(e_cm: Array, q_cm: Array, bmat: Array,
+                                   lam: Array, y_cm: Array,
+                                   valid_cm: Array):
+    """`conditional_filter_xla` that ALSO returns the per-step pre-update
+    states (a_j, F_j, P_j) [s, C, ...] -- the minimal residual stream the
+    analytic adjoint consumes (everything else -- S, S^{-1}, the gain --
+    is O(r^2 q)-recomputable from them).  Used by the backward pass
+    only; the plain forward never materialises the histories."""
+    s, c, r, _ = e_cm.shape
+    dtype = e_cm.dtype
+    eye_r = jnp.eye(r, dtype=dtype)
+
+    def step(carry, inp):
+        a0, F0, P0, H, h, c0, ld = carry
+        e, q, y, v = inp
+        S = jnp.einsum("ai,cij,bj->cab", bmat, P0, bmat) + lam[None]
+        Si = jnp.linalg.inv(S)
+        resid = y - jnp.einsum("ai,ci->ca", bmat, a0)
+        Gj = jnp.einsum("ai,cij->caj", bmat, F0)
+        SiG = jnp.einsum("cab,cbj->caj", Si, Gj)
+        Sr = jnp.einsum("cab,cb->ca", Si, resid)
+        vv = v[:, None, None]
+        H = H + vv * jnp.einsum("cai,caj->cij", Gj, SiG)
+        h = h + v[:, None] * jnp.einsum("cai,ca->ci", Gj, Sr)
+        c0 = c0 + v * jnp.einsum("ca,ca->c", resid, Sr)
+        ld = ld + v * jnp.linalg.slogdet(S)[1]
+        PBt = jnp.einsum("cij,aj->cia", P0, bmat)
+        K = jnp.einsum("cia,cab->cib", PBt, Si)
+        a = a0 + v[:, None] * jnp.einsum("cia,ca->ci", K, resid)
+        F = F0 - vv * jnp.einsum("cia,caj->cij", K, Gj)
+        P = P0 - vv * jnp.einsum("cia,cja->cij", K, PBt)
+        a = jnp.einsum("cij,cj->ci", e, a)
+        F = jnp.einsum("cij,cjk->cik", e, F)
+        P = jnp.einsum("cij,cjk,clk->cil", e, P, e) + q
+        return (a, F, P, H, h, c0, ld), (a0, F0, P0)
+
+    init = (
+        jnp.zeros((c, r), dtype),
+        jnp.broadcast_to(eye_r, (c, r, r)).astype(dtype),
+        jnp.zeros((c, r, r), dtype),
+        jnp.zeros((c, r, r), dtype),
+        jnp.zeros((c, r), dtype),
+        jnp.zeros((c,), dtype),
+        jnp.zeros((c,), dtype),
+    )
+    (a, F, P, H, h, c0, ld), hist = jax.lax.scan(
+        step, init, (e_cm, q_cm, y_cm, valid_cm)
+    )
+    return ChunkFilterOut(H, h, c0, ld, F, a, P), hist
+
+
+def conditional_filter_adjoint_xla(e_cm: Array, q_cm: Array, bmat: Array,
+                                   lam: Array, y_cm: Array,
+                                   valid_cm: Array, hist, cots):
+    """Analytic adjoint of `conditional_filter_xla`: O(r^2 q) per step --
+    the SAME scaling as the forward, vs the autodiff replay's extra
+    residual streams.  ``hist`` is `conditional_filter_collect_xla`'s
+    per-step (a_j, F_j, P_j); ``cots`` a ChunkFilterOut of output
+    cotangents.  Returns (ebar, qbar, Bbar, Lambar, ybar) -- cotangents
+    of (e_cm, q_cm, bmat, lam, y_cm).
+
+    Structure: the accumulators (H, h, c0, ld) pass through every step,
+    so their cotangents are step-constant; the carried state cotangents
+    (abar, Fbar, Pbar) run a REVERSE recursion whose per-step
+    coefficients are recomputed from the stored pre-update state.  Each
+    line transposes one forward einsum exactly (incl. the inv/slogdet
+    transposes), so parity with `jax.vjp` of the forward is
+    machine-precision (tests/test_chunked.py)."""
+    Hb, hb, c0b, ldb, Fsb, asb, Psb = cots
+
+    def astep(carry, inp):
+        abar_n, Fbar_n, Pbar_n, Bbar, Lambar = carry
+        e, q, y, v, a0, F0, P0 = inp
+        vv = v[:, None, None]
+        # ---- recompute the forward intermediates (O(r^2 q)) ----
+        S = jnp.einsum("ai,cij,bj->cab", bmat, P0, bmat) + lam[None]
+        Si = jnp.linalg.inv(S)
+        resid = y - jnp.einsum("ai,ci->ca", bmat, a0)
+        Gj = jnp.einsum("ai,cij->caj", bmat, F0)
+        SiG = jnp.einsum("cab,cbj->caj", Si, Gj)
+        Sr = jnp.einsum("cab,cb->ca", Si, resid)
+        PBt = jnp.einsum("cij,aj->cia", P0, bmat)
+        K = jnp.einsum("cia,cab->cib", PBt, Si)
+        a1 = a0 + v[:, None] * jnp.einsum("cia,ca->ci", K, resid)
+        F1 = F0 - vv * jnp.einsum("cia,caj->cij", K, Gj)
+        P1 = P0 - vv * jnp.einsum("cia,cja->cij", K, PBt)
+        # ---- predict adjoint: a' = e a1, F' = e F1, P' = e P1 e^T + q
+        qbar = Pbar_n
+        ebar = (
+            jnp.einsum("ci,cj->cij", abar_n, a1)
+            + jnp.einsum("cik,cjk->cij", Fbar_n, F1)
+            + jnp.einsum("cik,ckl,cjl->cij", Pbar_n, e, P1)
+            + jnp.einsum("cki,ckl,clj->cij", Pbar_n, e, P1)
+        )
+        abar1 = jnp.einsum("cji,cj->ci", e, abar_n)
+        Fbar1 = jnp.einsum("cji,cjk->cik", e, Fbar_n)
+        Pbar1 = jnp.einsum("cji,cjk,ckl->cil", e, Pbar_n, e)
+        # ---- update adjoint ----
+        Kbar = (
+            jnp.einsum("ci,ca->cia", abar1, resid)
+            - jnp.einsum("cij,caj->cia", Fbar1, Gj)
+            - jnp.einsum("cij,cja->cia", Pbar1, PBt)
+        ) * vv
+        rbar = v[:, None] * (
+            jnp.einsum("cia,ci->ca", K, abar1)
+            + jnp.einsum("cai,ci->ca", SiG, hb)
+            + 2.0 * c0b[:, None] * Sr
+        )
+        Gbar = v[:, None, None] * (
+            -jnp.einsum("cia,cij->caj", K, Fbar1)
+            + jnp.einsum("cai,cij->caj", SiG, Hb + jnp.swapaxes(Hb, 1, 2))
+            + jnp.einsum("ca,ci->cai", Sr, hb)
+        )
+        Sibar = (
+            jnp.einsum("cia,cib->cab", PBt, Kbar)
+            + vv * (
+                jnp.einsum("cai,cij,cbj->cab", Gj, Hb, Gj)
+                + jnp.einsum("cai,ci,cb->cab", Gj, hb, resid)
+                + c0b[:, None, None]
+                * jnp.einsum("ca,cb->cab", resid, resid)
+            )
+        )
+        PBtbar = (
+            -vv * jnp.einsum("cji,cja->cia", Pbar1, K)
+            + jnp.einsum("cib,cab->cia", Kbar, Si)
+        )
+        # slogdet grad = S^{-T}; inv grad = -S^{-T} Sibar S^{-T}
+        SiT = jnp.swapaxes(Si, 1, 2)
+        Sbar = (v * ldb)[:, None, None] * SiT - jnp.einsum(
+            "cab,cbd,cde->cae", SiT, Sibar, SiT
+        )
+        abar = abar1 - jnp.einsum("ai,ca->ci", bmat, rbar)
+        Fbar = Fbar1 + jnp.einsum("ai,caj->cij", bmat, Gbar)
+        Pbar = (
+            Pbar1
+            + jnp.einsum("cia,aj->cij", PBtbar, bmat)
+            + jnp.einsum("ai,cab,bj->cij", bmat, Sbar, bmat)
+        )
+        ybar = rbar
+        Bbar = Bbar + (
+            jnp.einsum("cia,cij->caj", PBtbar, P0)
+            + jnp.einsum("caj,cij->cai", Gbar, F0)
+            - jnp.einsum("ca,ci->cai", rbar, a0)
+            + jnp.einsum("cab,bi,cji->caj", Sbar, bmat, P0)
+            + jnp.einsum("cba,bi,cij->caj", Sbar, bmat, P0)
+        ).sum(axis=0)
+        Lambar = Lambar + Sbar.sum(axis=0)
+        return (abar, Fbar, Pbar, Bbar, Lambar), (ebar, qbar, ybar)
+
+    a_h, F_h, P_h = hist
+    carry0 = (asb, Fsb, Psb, jnp.zeros_like(bmat), jnp.zeros_like(lam))
+    (abar, Fbar, Pbar, Bbar, Lambar), (ebar, qbar, ybar) = jax.lax.scan(
+        astep, carry0, (e_cm, q_cm, y_cm, valid_cm, a_h, F_h, P_h),
+        reverse=True,
+    )
+    # the carry cotangents at j = 0 belong to the constant init
+    # (a = 0, F = I, P = 0) and are discarded
+    del abar, Fbar, Pbar
+    return ebar, qbar, Bbar, Lambar, ybar
+
+
+@jax.custom_vjp
+def conditional_filter(e_cm: Array, q_cm: Array, bmat: Array, lam: Array,
+                       y_cm: Array, valid_cm: Array) -> ChunkFilterOut:
+    """Differentiable `conditional_filter_xla`: the analytic O(r^2 q)
+    adjoint replaces autodiff-through-the-scan (which stores ~4x the
+    residual streams and was the reason celerite training could not
+    ride the filter route -- VERDICT r4 #2)."""
+    return conditional_filter_xla(e_cm, q_cm, bmat, lam, y_cm, valid_cm)
+
+
+def _cf_fwd(e_cm, q_cm, bmat, lam, y_cm, valid_cm):
+    # store only the INPUTS; the backward re-runs one forward collect
+    # sweep (the per-step state histories are 2 r^2 + r floats/step --
+    # writing them in the primal would tax every forward-only call)
+    return (conditional_filter_xla(e_cm, q_cm, bmat, lam, y_cm, valid_cm),
+            (e_cm, q_cm, bmat, lam, y_cm, valid_cm))
+
+
+def _cf_bwd(res, cots):
+    e_cm, q_cm, bmat, lam, y_cm, valid_cm = res
+    _, hist = conditional_filter_collect_xla(
+        e_cm, q_cm, bmat, lam, y_cm, valid_cm
+    )
+    ebar, qbar, Bbar, Lambar, ybar = conditional_filter_adjoint_xla(
+        e_cm, q_cm, bmat, lam, y_cm, valid_cm, hist, tuple(cots)
+    )
+    return ebar, qbar, Bbar, Lambar, ybar, jnp.zeros_like(valid_cm)
+
+
+conditional_filter.defvjp(_cf_fwd, _cf_bwd)
+
+
 def boundary_loglik(out: ChunkFilterOut, nq_total: Array,
                     jitter: float = 0.0) -> Array:
     """Finish the marginal log-likelihood from per-chunk statistics.

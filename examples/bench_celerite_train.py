@@ -44,23 +44,27 @@ def time_steps(loss_fn, params, ts, xs):
     opt = optax.adam(1e-3)
 
     @jax.jit
-    def run(params, ts, xs):
+    def run(params, ts, xs, c):
+        # `c` perturbs the data each call: the relay result-caches
+        # identical-args calls (CLAUDE.md), which otherwise times ~0
         def body(i, carry):
             p, st = carry
-            g = jax.grad(loss_fn)(p, ts, xs)
+            g = jax.grad(loss_fn)(p, ts, xs * c)
             up, st = opt.update(g, st, p)
             return jax.tree.map(lambda a, b: a + b, p, up), st
 
         p, st = jax.lax.fori_loop(0, K, body, (params, opt.init(params)))
-        return jax.tree.leaves(p)[0]
+        return jnp.ravel(jax.tree.leaves(p)[0])[0]
 
+    # host-read sync (block_until_ready does NOT synchronise through the
+    # relay -- CLAUDE.md round-1 gotcha)
     t0 = time.time()
-    jax.block_until_ready(run(params, ts, xs))
+    float(run(params, ts, xs, 1.0))
     compile_s = time.time() - t0
     times = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(run(params, ts, xs))
+        float(run(params, ts, xs, 1.0 + 1e-6 * (i + 1)))
         times.append((time.time() - t0) / K)
     return float(np.median(times) * 1e3), compile_s
 
@@ -89,7 +93,7 @@ def main():
             out["expanded_compile_s"] = round(cs, 1)
         except Exception as e:  # noqa: BLE001 - report and continue
             out["expanded_error"] = str(e)[:160]
-        if "fused_step_ms" in out and "expanded_step_ms" in out:
+        if out.get("fused_step_ms") and out.get("expanded_step_ms"):
             out["speedup"] = round(
                 out["expanded_step_ms"] / out["fused_step_ms"], 2)
         print(json.dumps(out), flush=True)

@@ -276,3 +276,63 @@ def test_pallas_fused_solve_inverse_matches_xla(n):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(so_p), np.asarray(so_x),
                                atol=1e-5)
+
+
+def _filter_fixture(s=6, c=5, r=4, qd=2, seed=0, dtype=jnp.float64):
+    """Random SPD-noise conditional-filter inputs (valid mask includes
+    zeros so the masked no-op branch is differentiated too)."""
+    rng = np.random.RandomState(seed)
+    e = rng.randn(s, c, r, r) * 0.3 + np.eye(r)
+    q = rng.randn(s, c, r, r) * 0.2
+    q = q @ q.transpose(0, 1, 3, 2) + 0.1 * np.eye(r)
+    b = rng.randn(qd, r)
+    lam = rng.randn(qd, qd) * 0.3
+    lam = lam @ lam.T + 0.5 * np.eye(qd)
+    y = rng.randn(s, c, qd)
+    valid = (rng.rand(s, c) > 0.2).astype(float)
+    # invalid gaps must carry e = I, q = 0 (the contract); tie a few
+    gv = (rng.rand(s, c) > 0.15).astype(float)[:, :, None, None]
+    e = e * gv + np.eye(r) * (1.0 - gv)
+    q = q * gv
+    return tuple(jnp.asarray(a, dtype) for a in (e, q, b, lam, y, valid))
+
+
+def test_conditional_filter_analytic_adjoint_matches_autodiff():
+    """The analytic O(r^2 q) adjoint of the conditional Kalman filter
+    (chunked_filter.conditional_filter_adjoint_xla) == jax.vjp through
+    the forward scan, to machine precision, for every input cotangent
+    (e, q, B, Lambda, y) under a nontrivial output cotangent on ALL
+    seven statistics.  This is the backward that takes celerite
+    training to filter-route speed (VERDICT r4 #2)."""
+    from cyclic_gps_tpu.ops import chunked_filter as cf
+
+    e, q, b, lam, y, valid = _filter_fixture()
+    rng = np.random.RandomState(99)
+    out0 = cf.conditional_filter_xla(e, q, b, lam, y, valid)
+    cots = cf.ChunkFilterOut(*[
+        jnp.asarray(rng.randn(*np.asarray(o).shape), o.dtype)
+        for o in out0
+    ])
+
+    _, vjp = jax.vjp(
+        lambda e_, q_, b_, l_, y_: cf.conditional_filter_xla(
+            e_, q_, b_, l_, y_, valid), e, q, b, lam, y)
+    ref = vjp(cots)
+
+    _, hist = cf.conditional_filter_collect_xla(e, q, b, lam, y, valid)
+    got = cf.conditional_filter_adjoint_xla(e, q, b, lam, y, valid,
+                                            hist, tuple(cots))
+    for g, r_, name in zip(got, ref, ["e", "q", "B", "lam", "y"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r_), rtol=5e-12, atol=5e-12,
+            err_msg=f"cotangent mismatch: {name}")
+
+    # the custom_vjp wrapper routes grads through the analytic adjoint
+    def loss(e_, q_, b_, l_, y_):
+        out = cf.conditional_filter(e_, q_, b_, l_, y_, valid)
+        return sum(jnp.vdot(c_, o) for c_, o in zip(cots, out))
+
+    g2 = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(e, q, b, lam, y)
+    for g, r_ in zip(g2, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r_),
+                                   rtol=5e-12, atol=5e-12)
