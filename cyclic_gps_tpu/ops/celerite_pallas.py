@@ -386,7 +386,8 @@ def _bd_left(ee, x):
 
 def _cel_filter_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref, real_ref,
                        y_ref, hq_ref, hl_ref, c0_ref, lds_ref, f_ref,
-                       am_ref, pm_ref, a_s, f_s, p_s, hq_s, hl_s, sc_s):
+                       am_ref, pm_ref, a_s, f_s, p_s, hq_s, hl_s, sc_s,
+                       hist_refs=None):
     """One (chunk-tile, step) cell of the conditional Kalman filter
     (ops/chunked_filter.conditional_filter_xla's recursion, verbatim):
     masked innovation update at row j, then a closed-form-(e, Q)
@@ -394,7 +395,11 @@ def _cel_filter_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref, real_ref,
     across the step grid; only the per-chunk boundary statistics are
     written out (at j = s-1).  Per-step work is O(r^2 q) lane FMAs --
     no r x r factorization (the q x q innovation Cholesky is the only
-    factor) -- which is the celerite scaling the kernel exists for."""
+    factor) -- which is the celerite scaling the kernel exists for.
+
+    ``hist_refs`` (collect variant): (a_h, f_h, p_h) per-step output
+    refs recording the PRE-update state of step j -- the residual
+    stream the analytic adjoint kernel consumes."""
     j = pl.program_id(1)
     s = pl.num_programs(1)
     r = f_s.shape[0]
@@ -423,6 +428,12 @@ def _cel_filter_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref, real_ref,
     a = a_s[:]
     F = f_s[:]
     P = p_s[:]
+
+    if hist_refs is not None:               # collect: pre-update state
+        a_h, f_h, p_h = hist_refs
+        a_h[0] = a
+        f_h[0] = F
+        p_h[0] = P
 
     # ---- innovation update (masked by v3; S >= Lambda always SPD) ----
     BP = _mm(bv, P)                          # [q, r, nt]
@@ -539,3 +550,354 @@ def celerite_filter_sweep_pallas(gb: Array, b: Array, lam: Array,
     hq, hl, c0, lds, f_map, a_map, p_map = outs
     return (hq[:, :, :c], hl[:, 0, :c], c0[0, 0, :c], lds[0, 0, :c],
             f_map[:, :, :c], a_map[:, 0, :c], p_map[:, :, :c])
+
+
+# ---------------------------------------------------------------------------
+# Analytic adjoint of the conditional filter (the celerite training
+# backward): forward COLLECT sweep (stores the per-step pre-update
+# state) + a DESCENDING adjoint kernel.  Pallas twins of
+# ops/chunked_filter.conditional_filter_collect_xla / _adjoint_xla.
+# ---------------------------------------------------------------------------
+
+
+def _cel_filter_collect_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref,
+                               real_ref, y_ref, hq_ref, hl_ref, c0_ref,
+                               lds_ref, f_ref, am_ref, pm_ref,
+                               a_h, f_h, p_h,
+                               a_s, f_s, p_s, hq_s, hl_s, sc_s):
+    _cel_filter_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref, real_ref,
+                       y_ref, hq_ref, hl_ref, c0_ref, lds_ref, f_ref,
+                       am_ref, pm_ref, a_s, f_s, p_s, hq_s, hl_s, sc_s,
+                       hist_refs=(a_h, f_h, p_h))
+
+
+def _cel_pad_filter(dt_cm, gv_cm, real_cm, y_cm, nt):
+    s, c = dt_cm.shape
+    qd = y_cm.shape[1]
+    cpad = -(-c // nt) * nt
+    if cpad != c:
+        p = cpad - c
+        dt_cm = jnp.concatenate(
+            [dt_cm, jnp.ones((s, p), dtype=dt_cm.dtype)], axis=-1)
+        gv_cm = jnp.concatenate(
+            [gv_cm, jnp.zeros((s, p), dtype=gv_cm.dtype)], axis=-1)
+        real_cm = jnp.concatenate(
+            [real_cm, jnp.zeros((s, p), dtype=real_cm.dtype)], axis=-1)
+        y_cm = jnp.concatenate(
+            [y_cm, jnp.zeros((s, qd, p), dtype=y_cm.dtype)], axis=-1)
+    return dt_cm, gv_cm, real_cm, y_cm, cpad
+
+
+@jax.jit
+def celerite_filter_collect_sweep_pallas(gb: Array, b: Array, lam: Array,
+                                         dt_cm: Array, gv_cm: Array,
+                                         real_cm: Array, y_cm: Array):
+    """`celerite_filter_sweep_pallas` that ALSO writes the per-step
+    pre-update state (a_j [s, r, 1, C], F_j / P_j [s, r, r, C]) -- the
+    2 r^2 + r floats/step residual stream of the analytic adjoint
+    (`celerite_filter_adjoint_pallas` reads it descending).  Run by the
+    BACKWARD pass only; the plain sweep never materialises it."""
+    nb = gb.shape[0]
+    r = 2 * nb
+    qd = b.shape[0]
+    s, c = dt_cm.shape
+    dtype = b.dtype
+    nt = _cel_tile(r)
+    dt_cm, gv_cm, real_cm, y_cm, cpad = _cel_pad_filter(
+        dt_cm, gv_cm, real_cm, y_cm, nt)
+
+    nct = cpad // nt
+    vmem_gb = pl.BlockSpec((nb, 4, 1), lambda t, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    vmem_b = pl.BlockSpec((qd, r, 1), lambda t, j: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vmem_lam = pl.BlockSpec((qd, qd, 1), lambda t, j: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((1, 1, nt), lambda t, j: (j, 0, t),
+                        memory_space=pltpu.VMEM)
+    stepy = pl.BlockSpec((1, qd, 1, nt), lambda t, j: (j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    tilemat = pl.BlockSpec((r, r, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    tilevec = pl.BlockSpec((r, 1, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    tilelane = pl.BlockSpec((1, 1, nt), lambda t, j: (0, 0, t),
+                            memory_space=pltpu.VMEM)
+    stepm = pl.BlockSpec((1, r, r, nt), lambda t, j: (j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, r, 1, nt), lambda t, j: (j, 0, 0, t),
+                         memory_space=pltpu.VMEM)
+    mat = jax.ShapeDtypeStruct((r, r, cpad), dtype)
+    vec = jax.ShapeDtypeStruct((r, 1, cpad), dtype)
+    sca = jax.ShapeDtypeStruct((1, 1, cpad), dtype)
+    hmat = jax.ShapeDtypeStruct((s, r, r, cpad), dtype)
+    hvec = jax.ShapeDtypeStruct((s, r, 1, cpad), dtype)
+    outs = pl.pallas_call(
+        _cel_filter_collect_kernel,
+        grid=(nct, s),
+        in_specs=[vmem_gb, vmem_b, vmem_lam, lane, lane, lane, stepy],
+        out_specs=[tilemat, tilevec, tilelane, tilelane, tilemat,
+                   tilevec, tilemat, stepv, stepm, stepm],
+        out_shape=[mat, vec, sca, sca, mat, vec, mat, hvec, hmat, hmat],
+        scratch_shapes=[
+            pltpu.VMEM((r, 1, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((r, 1, nt), dtype),
+            pltpu.VMEM((2, 1, nt), dtype),
+        ],
+    )(gb.reshape(nb, 4, 1), b[:, :, None], lam[:, :, None],
+      dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :],
+      y_cm[:, :, None, :])
+    hq, hl, c0, lds, f_map, a_map, p_map, a_h, f_h, p_h = outs
+    stats = (hq[:, :, :c], hl[:, 0, :c], c0[0, 0, :c], lds[0, 0, :c],
+             f_map[:, :, :c], a_map[:, 0, :c], p_map[:, :, :c])
+    return stats, (a_h, f_h, p_h)  # hists stay cpad-wide (kernel input)
+
+
+def _entries4(blk):
+    """[2, 2, nt] -> [1, 4, nt] (entry order 00, 01, 10, 11); only
+    single-sublane slices (the same access pattern `_mm` uses)."""
+    return jnp.concatenate(
+        [blk[0:1, 0:1], blk[0:1, 1:2], blk[1:2, 0:1], blk[1:2, 1:2]],
+        axis=1)
+
+
+def _bd_blocks_of(x, nb):
+    """[r, r, nt] -> its 2x2 diagonal-block entries stacked [nb, 4, nt]
+    (entry order 00, 01, 10, 11).  Columns are selected by slicing the
+    UNTILED dim 0 after a `_swap` -- multi-sublane offset slices are
+    avoided (Mosaic alignment, see pallas_sweep._chol)."""
+    rows = []
+    for k in range(nb):
+        sl = slice(2 * k, 2 * k + 2)
+        blk = _swap(_swap(x[sl])[sl])        # x[2k:2k+2, 2k:2k+2]
+        rows.append(_entries4(blk))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _cel_filter_adjoint_kernel(gb_ref, b_ref, lam_ref, dt_ref, gv_ref,
+                               real_ref, y_ref, a_h_ref, f_h_ref,
+                               p_h_ref, hqb_ref, hlb_ref, c0b_ref,
+                               ldb_ref, fsb_ref, asb_ref, psb_ref,
+                               eb_ref, qb_ref, yb_ref, bb_ref, lb_ref,
+                               ab_s, fb_s, pb_s, bacc_s, lacc_s):
+    """Descending adjoint cell of the conditional filter: grid step j
+    visits series step jj = s-1-j (all per-step operands use s-1-j index
+    maps).  Recomputes the O(r^2 q) forward intermediates from the
+    stored pre-update state, transposes each forward op exactly
+    (ops/chunked_filter.conditional_filter_adjoint_xla is the oracle),
+    carries (abar, Fbar, Pbar) in VMEM scratch, and emits per-gap
+    cotangents only for the 2x2 DIAGONAL BLOCKS of (e, q) -- e and q
+    are block-diagonal, so the dense r x r cotangent is never built
+    (the O(r^3) product F̄' F1^T is taken per 2x2 block at O(r) each)."""
+    j = pl.program_id(1)
+    s = pl.num_programs(1)
+    r = fb_s.shape[0]
+    nb = r // 2
+
+    z3 = dt_ref[0:1, 0:1, :] * 0.0
+    one_lane = z3 + 1.0
+    bv = b_ref[:] * one_lane                 # [q, r, nt]
+    lamf = lam_ref[:] * one_lane             # [q, q, nt]
+    eyeq = lamf * 0.0 + jnp.eye(
+        lamf.shape[0], dtype=lamf.dtype)[:, :, None]
+
+    @pl.when(j == 0)
+    def _():
+        ab_s[:] = asb_ref[:]
+        fb_s[:] = fsb_ref[:]
+        pb_s[:] = psb_ref[:]
+        bacc_s[:] = jnp.broadcast_to(z3, bacc_s.shape)
+        lacc_s[:] = jnp.broadcast_to(z3, lacc_s.shape)
+
+    v3 = real_ref[0:1, 0:1, :]
+    a0 = a_h_ref[0]                          # [r, 1, nt]
+    F0 = f_h_ref[0]                          # [r, r, nt]
+    P0 = p_h_ref[0]
+    abar_n = ab_s[:]
+    Fbar_n = fb_s[:]
+    Pbar_n = pb_s[:]
+
+    # ---- recompute the forward intermediates ----
+    BP = _mm(bv, P0)                         # [q, r, nt]
+    Gj = _mm(bv, F0)
+    resid = y_ref[0] - _mm(bv, a0)           # [q, 1, nt]
+    S = _mm(BP, bv, tb=True) + lamf
+    L, invd, _ldh = _chol(S)
+
+    def si_apply(x):
+        return _solve_lower_t(L, invd, _solve_lower(L, invd, x))
+
+    sr = si_apply(resid)                     # Si resid   [q, 1, nt]
+    X = si_apply(Gj)                         # Si G       [q, r, nt]
+    X2 = si_apply(BP)                        # Si B P     [q, r, nt]
+    Si = si_apply(eyeq)                      # [q, q, nt]
+    PBt = _swap(BP)                          # [r, q, nt]
+    K = _swap(X2)                            # [r, q, nt]
+    a1 = a0 + v3 * _mm(PBt, sr)
+    F1 = F0 - v3 * _mm(PBt, X)
+    P1 = P0 - v3 * _mm(PBt, X2)
+
+    # ---- predict adjoint ----
+    ee, _qq = _osc_eq_terms(gb_ref[:], dt_ref[:], gv_ref[:])
+    eeT = (ee[0], ee[2], ee[1], ee[3])       # transposed 2x2 entries
+    qb_ref[0] = _bd_blocks_of(Pbar_n, nb)
+    Psym = Pbar_n + _swap(Pbar_n)
+    W = _bd_left(ee, P1)                     # e P1  [r, r, nt]
+    Wt = _swap(W)                            # columns of W as rows
+    eb_rows = []
+    for k in range(nb):
+        sl = slice(2 * k, 2 * k + 2)
+        blk = (
+            _mm(abar_n[sl], a1[sl], tb=True)
+            + _mm(Fbar_n[sl], F1[sl], tb=True)
+            + _mm(Psym[sl], Wt[sl], tb=True)  # Psym[2k:, :] W[:, 2k:]
+        )                                    # [2, 2, nt]
+        eb_rows.append(_entries4(blk))
+    eb_ref[0] = jnp.concatenate(eb_rows, axis=0)
+
+    abar1 = _bd_left(eeT, abar_n)
+    Fbar1 = _bd_left(eeT, Fbar_n)
+    Pbar1 = _swap(_bd_left(eeT, _swap(_bd_left(eeT, Pbar_n))))
+
+    # ---- update adjoint ----
+    Hb = hqb_ref[:]
+    hb = hlb_ref[:]
+    c0b = c0b_ref[:]                         # [1, 1, nt]
+    ldb = ldb_ref[:]
+    Kbar = v3 * (
+        _mm(abar1, resid, tb=True)
+        - _mm(Fbar1, Gj, tb=True)
+        - _mm(Pbar1, PBt)
+    )                                        # [r, q, nt]
+    rbar = v3 * (
+        _mm(K, abar1, ta=True)
+        + _mm(X, hb)
+        + 2.0 * c0b * sr
+    )                                        # [q, 1, nt]
+    Gbar = v3 * (
+        -_mm(K, Fbar1, ta=True)
+        + _mm(X, Hb + _swap(Hb))
+        + _mm(sr, hb, tb=True)
+    )                                        # [q, r, nt]
+    Sibar = _mm(PBt, Kbar, ta=True) + v3 * (
+        _mm(_mm(Gj, Hb), Gj, tb=True)
+        + _mm(_mm(Gj, hb), resid, tb=True)
+        + c0b * _mm(resid, resid, tb=True)
+    )                                        # [q, q, nt]
+    PBtbar = -v3 * _mm(Pbar1, K, ta=True) + _swap(
+        si_apply(_swap(Kbar)))               # K̄ Si (Si symmetric)
+    Sbar = v3 * ldb * Si - _mm(_mm(Si, Sibar), Si)
+    ab_s[:] = abar1 - _mm(bv, rbar, ta=True)
+    fb_s[:] = Fbar1 + _mm(bv, Gbar, ta=True)
+    pb_s[:] = (Pbar1 + _mm(PBtbar, bv)
+               + _mm(bv, _mm(Sbar, bv), ta=True))
+    yb_ref[0] = rbar
+    bacc_s[:] = bacc_s[:] + (
+        _mm(PBtbar, P0, ta=True)
+        + _mm(Gbar, F0, tb=True)
+        - _mm(rbar, a0, tb=True)
+        + _mm(_mm(Sbar + _swap(Sbar), bv), P0)
+    )
+    lacc_s[:] = lacc_s[:] + Sbar
+
+    @pl.when(j == s - 1)
+    def _():
+        bb_ref[:] = bacc_s[:]
+        lb_ref[:] = lacc_s[:]
+
+
+@jax.jit
+def celerite_filter_adjoint_pallas(gb: Array, b: Array, lam: Array,
+                                   dt_cm: Array, gv_cm: Array,
+                                   real_cm: Array, y_cm: Array,
+                                   hists, cots):
+    """Analytic adjoint of the fused conditional-filter sweep.
+
+    ``hists`` = (a_h, f_h, p_h) from
+    `celerite_filter_collect_sweep_pallas` (cpad-wide); ``cots`` the
+    element-major output cotangents (H [r, r, C], h [r, C], c0 [C],
+    ld [C], F [r, r, C], a [r, C], P [r, r, C]).  Returns
+    (ebar [s, nb, 4, C], qbar [s, nb, 4, C], ybar [s, q, C],
+    bbar [q, r], lambar [q, q]) -- e/q cotangents per 2x2 block entry
+    (order 00, 01, 10, 11), chained through the closed forms by the
+    caller (models/celerite._cel_filter_pallas_bwd)."""
+    nb = gb.shape[0]
+    r = 2 * nb
+    qd = b.shape[0]
+    s, c = dt_cm.shape
+    dtype = b.dtype
+    nt = _cel_tile(r)
+    dt_cm, gv_cm, real_cm, y_cm, cpad = _cel_pad_filter(
+        dt_cm, gv_cm, real_cm, y_cm, nt)
+    hqb, hlb, c0b, ldb, fsb, asb, psb = cots
+
+    def padm(x):
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, cpad - x.shape[-1])]
+        return jnp.pad(x, pad)
+
+    hqb = padm(hqb)
+    hlb = padm(hlb)[:, None, :]
+    c0b = padm(c0b)[None, None, :]
+    ldb = padm(ldb)[None, None, :]
+    fsb = padm(fsb)
+    asb = padm(asb)[:, None, :]
+    psb = padm(psb)
+    a_h, f_h, p_h = hists
+
+    nct = cpad // nt
+    down = lambda t, j: (s - 1 - j, 0, t)            # noqa: E731
+    down4 = lambda t, j: (s - 1 - j, 0, 0, t)        # noqa: E731
+    vmem_gb = pl.BlockSpec((nb, 4, 1), lambda t, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    vmem_b = pl.BlockSpec((qd, r, 1), lambda t, j: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vmem_lam = pl.BlockSpec((qd, qd, 1), lambda t, j: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((1, 1, nt), down, memory_space=pltpu.VMEM)
+    stepy = pl.BlockSpec((1, qd, 1, nt), down4, memory_space=pltpu.VMEM)
+    stepm = pl.BlockSpec((1, r, r, nt), down4, memory_space=pltpu.VMEM)
+    stepv = pl.BlockSpec((1, r, 1, nt), down4, memory_space=pltpu.VMEM)
+    tilemat = pl.BlockSpec((r, r, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    tilevec = pl.BlockSpec((r, 1, nt), lambda t, j: (0, 0, t),
+                           memory_space=pltpu.VMEM)
+    tilelane = pl.BlockSpec((1, 1, nt), lambda t, j: (0, 0, t),
+                            memory_space=pltpu.VMEM)
+    stepblk = pl.BlockSpec((1, nb, 4, nt), down4,
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _cel_filter_adjoint_kernel,
+        grid=(nct, s),
+        in_specs=[vmem_gb, vmem_b, vmem_lam, lane, lane, lane, stepy,
+                  stepv, stepm, stepm,
+                  tilemat, tilevec, tilelane, tilelane, tilemat,
+                  tilevec, tilemat],
+        out_specs=[stepblk, stepblk,
+                   pl.BlockSpec((1, qd, 1, nt), down4,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((qd, r, nt), lambda t, j: (0, 0, t),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((qd, qd, nt), lambda t, j: (0, 0, t),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((s, nb, 4, cpad), dtype),
+                   jax.ShapeDtypeStruct((s, nb, 4, cpad), dtype),
+                   jax.ShapeDtypeStruct((s, qd, 1, cpad), dtype),
+                   jax.ShapeDtypeStruct((qd, r, cpad), dtype),
+                   jax.ShapeDtypeStruct((qd, qd, cpad), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((r, 1, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((r, r, nt), dtype),
+            pltpu.VMEM((qd, r, nt), dtype),
+            pltpu.VMEM((qd, qd, nt), dtype),
+        ],
+    )(gb.reshape(nb, 4, 1), b[:, :, None], lam[:, :, None],
+      dt_cm[:, None, :], gv_cm[:, None, :], real_cm[:, None, :],
+      y_cm[:, :, None, :], a_h, f_h, p_h,
+      hqb, hlb, c0b, ldb, fsb, asb, psb)
+    ebar, qbar, ybar, bbar, lambar = outs
+    return (ebar[:, :, :, :c], qbar[:, :, :, :c], ybar[:, :, 0, :c],
+            jnp.sum(bbar, axis=-1), jnp.sum(lambar, axis=-1))

@@ -77,7 +77,17 @@ def main():
                                  obs_dim=1, dtype=jnp.float32)
         out = {"metric": f"celerite_train_n1e6_nblocks{nb}", "unit": "ms"}
         try:
+            # the default route: conditional filter + analytic adjoint
             ms, cs = time_steps(celerite.nll_loss, p, ts, xs)
+            out["filter_step_ms"] = round(ms, 2)
+            out["filter_compile_s"] = round(cs, 1)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            out["filter_error"] = str(e)[:160]
+        try:
+            ms, cs = time_steps(
+                lambda pp, t, x: celerite.nll_loss(pp, t, x,
+                                                   method="precision"),
+                p, ts, xs)
             out["fused_step_ms"] = round(ms, 2)
             out["fused_compile_s"] = round(cs, 1)
         except Exception as e:  # noqa: BLE001 - report and continue
@@ -93,9 +103,12 @@ def main():
             out["expanded_compile_s"] = round(cs, 1)
         except Exception as e:  # noqa: BLE001 - report and continue
             out["expanded_error"] = str(e)[:160]
-        if out.get("fused_step_ms") and out.get("expanded_step_ms"):
-            out["speedup"] = round(
-                out["expanded_step_ms"] / out["fused_step_ms"], 2)
+        if out.get("fused_step_ms") and out.get("filter_step_ms"):
+            out["speedup_vs_fused"] = round(
+                out["fused_step_ms"] / out["filter_step_ms"], 2)
+        if out.get("expanded_step_ms") and out.get("filter_step_ms"):
+            out["speedup_vs_expanded"] = round(
+                out["expanded_step_ms"] / out["filter_step_ms"], 2)
         print(json.dumps(out), flush=True)
 
 
