@@ -89,13 +89,24 @@ def main():
             return expm_em(-0.5 * gaps[None, None, :] * (c * g[:, :, None]))
 
         def stage_gather(tg, c):
+            # mirrors the in-path PACKED row gather (leg.intercast):
+            # one [N, 2r + 3r^2] take by prev_i + the unpack transpose
             geo = leg._intercast_geometry(ts, tg, 1e-10)
-            _, _, _, _, prev_i, next_i, off_i = geo[:7]
-            m_em = sb.vec_to_em(m) * c
-            cd_em = sb.to_em(cd)
-            co_em = sb.to_em(co)
-            return (m_em[:, prev_i], m_em[:, next_i], cd_em[:, :, prev_i],
-                    cd_em[:, :, next_i], co_em[:, :, off_i])
+            prev_i = geo[4]
+            n_obs = m.shape[0]
+            r2 = RANK * RANK
+            z_pack = jnp.concatenate([
+                m * c,
+                jnp.concatenate([m[1:], m[-1:]], axis=0),
+                cd.reshape(n_obs, r2),
+                jnp.concatenate([cd[1:], cd[-1:]],
+                                axis=0).reshape(n_obs, r2),
+                jnp.concatenate(
+                    [co, jnp.zeros((1, RANK, RANK), co.dtype)], axis=0
+                ).reshape(n_obs, r2),
+            ], axis=1)
+            return jnp.transpose(
+                jnp.take(z_pack, prev_i, axis=0, mode="clip"))
 
         def run_stage(fn):
             @jax.jit

@@ -454,3 +454,42 @@ def test_steady_state_likelihood_matches_filter():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_intercast_geometry_dual_path_matches_plain():
+    """The dense-grid geometry (P >= 2N: dual searchsorted as
+    scatter+cumsum, gather-free anchor times via cummax/cummin) ==
+    the plain searchsorted path, including exact-tie targets, targets
+    outside the observed range, and repeated targets."""
+    rng = np.random.RandomState(5)
+    n = 37
+    ts = jnp.asarray(np.cumsum(rng.rand(n) + 0.1), jnp.float64)
+    ts_np = np.asarray(ts)
+    targets = np.concatenate([
+        ts_np[0] - np.asarray([2.0, 0.5]),
+        np.sort(rng.rand(2 * n) * (ts_np[-1] - ts_np[0]) + ts_np[0]),
+        ts_np[::5],                                  # exact ties
+        [ts_np[3], ts_np[3]],                        # repeated tie
+        ts_np[-1] + np.asarray([0.3, 4.0]),
+    ])
+    targets = jnp.asarray(np.sort(targets), jnp.float64)
+    assert targets.shape[0] >= 2 * n                 # dual branch engages
+
+    got = leg._intercast_geometry(ts, targets, 1e-10)
+
+    idx = jnp.searchsorted(ts, targets)
+    prev_i = jnp.clip(idx - 1, 0, n - 1)
+    next_i = jnp.clip(idx, 0, n - 1)
+    want = (idx == 0, idx == n,
+            jnp.abs(targets - ts[0]) <= 1e-10,
+            jnp.abs(targets - ts[-1]) <= 1e-10,
+            prev_i, next_i, jnp.clip(idx - 1, 0, n - 2),
+            jnp.maximum(ts[0] - targets, 0.0),
+            jnp.maximum(targets - ts[-1], 0.0),
+            jnp.maximum(targets - ts[prev_i], 0.0),
+            jnp.maximum(ts[next_i] - targets, 0.0))
+    names = ["is_back", "is_fwd", "hit_first", "hit_last", "prev_i",
+             "next_i", "off_i", "d_back", "d_fwd", "d1", "d2"]
+    for g, w, name in zip(got, want, names):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=f"geometry field {name}")
