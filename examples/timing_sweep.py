@@ -31,7 +31,8 @@ from cyclic_gps_tpu.utils.profiling import timed
 
 RANK = 2
 OBS_DIM = 2
-SIZES = [10**2, 10**4, 10**6, 10**7]
+SIZES = [int(float(a)) for a in _sys.argv[1:]] or [10**2, 10**4, 10**6,
+                                                  10**7]
 KF_MAX = 10**4  # sequential/parallel smoother comparison sizes
 SMOOTHER_MAX = 10**6  # f32 smoother-route posterior (OOMs beyond)
 DTYPE = jnp.float32
@@ -40,73 +41,78 @@ ITERS = 50  # K=50 in-jit iterations (round-2 methodology; iters=5 carried ~6 ms
 
 
 def main():
+    ops_filter = _os.environ.get("TIMING_OPS")
+    ops_filter = set(ops_filter.split(",")) if ops_filter else None
+
     params = leg.init_params(jax.random.key(0), rank=RANK, obs_dim=OBS_DIM,
                              dtype=DTYPE)
     for n in SIZES:
         ts = jnp.cumsum(jnp.ones(n, dtype=DTYPE))
         xs = 0.5 * jax.random.normal(jax.random.key(2), (n, OBS_DIM),
                                      dtype=DTYPE)
-        results = {}
+
+        def run(op, fn, *args):
+            # one JSON line per op, printed IMMEDIATELY (a TPU-worker
+            # crash mid-sweep must not lose completed rows); TIMING_OPS
+            # env (comma-separated) restricts to a subset for the
+            # crash-isolating one-op-per-process driver
+            if ops_filter is not None and op not in ops_filter:
+                return
+            try:
+                seconds = timed(fn, *args, iters=ITERS)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(json.dumps({"n": n, "op": op,
+                                  "error": str(e)[:120]}), flush=True)
+                raise SystemExit(1)  # worker likely dead: stop cleanly
+            print(json.dumps({"n": n, "op": op,
+                              "ms": round(seconds * 1e3, 3)}), flush=True)
+
         # the partitioned-engine route (f64's default; at f32 it is the
         # raw engine benchmark -- production f32 "auto" routes through the
         # smoother, timed separately below)
-        results["pt_posterior_mean"] = timed(
+        run("pt_posterior_mean",
             lambda x: leg.posterior_mean(params, ts, x, regular=True,
-                                         method="precision"), xs,
-            iters=ITERS,
-        )
+                                         method="precision"), xs)
         if n <= SMOOTHER_MAX:
-            # the associative-scan smoother holds ~10 [r, r, N] work
-            # arrays; beyond ~1e6 the compiler's HBM plan overflows
-            results["smoother_posterior_mean"] = timed(
+            # blocked parallel smoother (kalman.SMOOTHER_BLOCK) beyond
+            # the flat-scan cap
+            run("smoother_posterior_mean",
                 lambda x: leg.posterior_mean(params, ts, x, regular=True,
-                                             method="smoother"), xs,
-                iters=ITERS,
-            )
-        results["pt_loglik"] = timed(
-            lambda x: leg.log_likelihood(params, ts, x, regular=True), xs,
-            iters=ITERS,
-        )
+                                             method="smoother"), xs)
+        run("pt_loglik",
+            lambda x: leg.log_likelihood(params, ts, x, regular=True), xs)
         # IRREGULAR grid (the fused K-system kernel path on TPU f32)
         rng = np.random.RandomState(3)
         ts_irr = jnp.asarray(
             np.cumsum(rng.randint(1, 5, n) * 0.25), DTYPE)
-        results["pt_loglik_irregular"] = timed(
-            lambda x: leg.log_likelihood(params, ts_irr, x), xs,
-            iters=ITERS,
-        )
+        run("pt_loglik_irregular",
+            lambda x: leg.log_likelihood(params, ts_irr, x), xs)
         if n >= 10**4:
             # STACKED multi-series: B = n / 1000 series x 1000 points
             # as ONE masked block-tridiagonal system
             b = n // 1000
             ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), 1000)
-            results["pt_loglik_stacked"] = timed(
+            run("pt_loglik_stacked",
                 lambda x: leg.log_likelihood_stacked(params, ts_irr, x,
-                                                     ids), xs,
-                iters=ITERS,
-            )
+                                                     ids), xs)
         if n <= KF_MAX:
             ssm = kalman.leg_to_ssm(params, ts)
-            results["kf_seq_smoother"] = timed(
-                lambda x: kalman.smooth_sequential(ssm, x), xs, iters=ITERS
-            )
-            results["kf_par_smoother"] = timed(
-                lambda x: kalman.smooth_parallel(ssm, x), xs, iters=ITERS
-            )
-            results["kf_seq_loglik"] = timed(
-                lambda x: kalman.log_likelihood_sequential(ssm, x), xs,
-                iters=ITERS,
-            )
-            # exactness: posterior mean == smoothed states (regular grid)
-            mean = leg.posterior_mean(params, ts, xs, regular=True)
-            sm, _ = kalman.smooth_sequential(ssm, xs)
-            err = float(jnp.abs(mean - sm).max())
-            assert err < 1e-2, err  # f32 tolerance
-            results["posterior_vs_smoother_maxerr"] = err
-
-        for op, seconds in results.items():
-            print(json.dumps({"n": n, "op": op,
-                              "ms": round(seconds * 1e3, 3)}), flush=True)
+            run("kf_seq_smoother",
+                lambda x: kalman.smooth_sequential(ssm, x), xs)
+            run("kf_par_smoother",
+                lambda x: kalman.smooth_parallel(ssm, x), xs)
+            run("kf_seq_loglik",
+                lambda x: kalman.log_likelihood_sequential(ssm, x), xs)
+            if ops_filter is None or "posterior_vs_smoother_maxerr" in \
+                    ops_filter:
+                # exactness: posterior mean == smoothed states
+                mean = leg.posterior_mean(params, ts, xs, regular=True)
+                sm, _ = kalman.smooth_sequential(ssm, xs)
+                err = float(jnp.abs(mean - sm).max())
+                assert err < 1e-2, err  # f32 tolerance
+                print(json.dumps({"n": n,
+                                  "op": "posterior_vs_smoother_maxerr",
+                                  "maxerr": err}), flush=True)
 
 
 if __name__ == "__main__":
